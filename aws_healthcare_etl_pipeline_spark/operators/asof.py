@@ -1,0 +1,88 @@
+"""As-of (nearest-earlier) join — an operator Spark lacks natively.
+
+Implemented as the union + ``last(ignorenulls)`` window trick
+(SURVEY.md §2.5): tag both sides, union on (key, time), sort within
+each key, and carry the most recent right-side payload forward onto
+left rows. One shuffle on the key + one per-key sort — the same
+physical cost as a sort-merge join, fully JVM-side (no Pandas UDF),
+so it scales like any other windowed op: partitioned by key, no
+driver involvement, skew handled by AQE.
+
+``pd.merge_asof`` via applyInPandas would express the same thing but
+pays Arrow transfer on 100% of rows — kept out of the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_time <= left_time`` (direction="backward"; "forward" is the
+    smallest ``right_time >= left_time``) within the same ``on`` key.
+
+    Right rows with no match leave NULL payload columns (left join
+    semantics). Equal timestamps match (inclusive bound).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+
+    left_cols = [c for c in left.columns]
+    right_payload = [c for c in right.columns if c not in (on, right_time)]
+    out_names = {c: (c + suffix if c in left_cols else c) for c in right_payload}
+    t = "__asof_t"
+
+    l_tagged = left.withColumn(t, F.col(left_time)).withColumn(_SIDE, F.lit(1))
+    for c in right_payload:
+        l_tagged = l_tagged.withColumn(out_names[c], F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.withColumnRenamed(right_time, t).withColumn(_SIDE, F.lit(0))
+    for c in right_payload:
+        r_tagged = r_tagged.withColumnRenamed(c, out_names[c])
+    for c in left_cols:
+        if c != on:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    cols = [on, t, _SIDE] + [c for c in left_cols if c != on] + [out_names[c] for c in right_payload]
+    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(t).asc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(t).desc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+
+    filled = unioned.select(
+        on,
+        t,
+        _SIDE,
+        *[c for c in left_cols if c != on],
+        *[fill(out_names[c]).alias(out_names[c]) for c in right_payload],
+    )
+    # left rows keep their original ``left_time`` column; the union-key
+    # copy ``t`` and the side tag are internal and dropped here.
+    return (
+        filled.filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, t)
+        .select(*left_cols, *[out_names[c] for c in right_payload])
+    )

@@ -1,0 +1,269 @@
+"""Deduplication family for large-scale text corpora (SURVEY.md §2.8).
+
+All four flavors are expressed with built-in Catalyst expressions only
+(xxhash64 / array transforms / bit ops) — no Python UDFs — so every
+stage is whole-stage-codegen'd, shuffles only on compact keys, and
+scales linearly with the corpus:
+
+  exact      : md5-of-normalized-text groupBy (one shuffle on a 32-byte key)
+  MinHash+LSH: shingle -> H seeded xxhash64 minima -> B bands ->
+               bucket self-join -> exact-Jaccard verify
+  SimHash    : 64-bit sign-sum signature -> 16-bit band blocking ->
+               hamming<=k verify (bit_count(xor))
+  n-gram Jaccard: blocked exact Jaccard over distinct shingle sets
+
+At 100 TB the candidate-pair stages are the hot spot; they shuffle only
+(id, band_hash) pairs — a few hundred bytes/doc, not the documents
+themselves — and the verify join re-reads shingle sets for candidate
+pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, normalize_text, word_shingles
+
+
+# ---------------------------------------------------------------- exact
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str, normalized: bool = True
+) -> DataFrame:
+    """Keep exactly one row (lowest id) per distinct text.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). One shuffle on the md5 fingerprint.
+    """
+    key = fingerprint_md5(F.col(text_col)) if normalized else F.md5(F.encode(F.col(text_col), "UTF-8"))
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_duplicate_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(fingerprint, keeper_id, n_copies) per distinct normalized text."""
+    return (
+        df.select(
+            fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_size: int = 3) -> Column:
+    """Array of ``num_hashes`` min-over-shingles seeded xxhash64 values.
+
+    Seeded by prepending a literal to the hash input — xxhash64 is a
+    built-in Catalyst expression, so the full signature is computed in
+    one codegen'd projection.
+    """
+    sh = F.array_distinct(word_shingles(text, shingle_size))
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
+    """Array of one hash per band (band b = rows [b*rows, (b+1)*rows))."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",",
+                    *[F.element_at(sig, b * rows + r + 1).cast("string") for r in range(rows)],
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    LSH recall: with 16 bands x 4 rows, pairs at J=0.7 collide in at
+    least one band w.p. ~0.975. Candidates are verified with exact
+    Jaccard on the shingle sets, so precision is exact.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_size)).alias("shingles"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+    )
+    buckets = sigs.select(
+        "doc_id",
+        F.posexplode(_band_hashes(F.col("sig"), bands, rows)).alias("band", "band_hash"),
+    )
+    # candidate pairs: docs sharing any (band, band_hash) bucket. Only
+    # (id, band_hash) shuffles here — compact regardless of doc size.
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash64(text: Column) -> Column:
+    """Classic 64-bit SimHash over whitespace tokens, unit weights.
+
+    Per token: xxhash64; per bit position: sum of (+1/-1); signature
+    bit j set iff the sum is positive. Entirely array/bit expressions.
+    """
+    toks = F.array_distinct(F.split(normalize_text(text), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit_sums[j] = sum over tokens of (bit j of hash ? 1 : -1).
+    # bit_get accepts a Column position (shiftright does not).
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.bit_get(h, j) * 2 - 1,
+            ),
+            lambda x, y: x + y.cast("long"),
+        ),
+    )
+    # fold positive-sum bits into one int64; bit positions are disjoint
+    # so plain addition assembles the signature
+    # bit 63 must be the int64 sign bit: -(2^63) wraps to the right pattern
+    powers = F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+    )
+    signed = F.zip_with(
+        bit_sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking: the 64-bit signature split into 4 x 16-bit bands; by
+    pigeonhole any pair at hamming <= 3 shares an exact band, and at
+    the default 8 most near-pairs still collide in >=1 band. Verify is
+    ``bit_count(xor)`` on the full signature.
+    """
+    sigs = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard (blocked)
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard within blocking-key groups.
+
+    The self-join is restricted to equal ``block_cols`` (e.g. language
+    + length bucket), which is what keeps it off O(n^2) at scale —
+    block sizing is the caller's scale contract.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(word_shingles(F.col(text_col), shingle_size)).alias("shingles"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard", jaccard(F.col("a.shingles"), F.col("b.shingles")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("jaccard"),
+        )
+    )

@@ -1,0 +1,20 @@
+"""Named-query registry: the driver-harness surface.
+
+Importing this package populates ``REGISTRY`` with every implemented
+query (SURVEY.md §2 inventory + the LLM-data-pipeline extensions).
+``__spark_entry__.py`` adapts it to the driver contract.
+"""
+
+from .registry import REGISTRY, QuerySpec, query
+
+# import for side effect: each module registers its queries
+from . import reference  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
+from . import windows_analytic  # noqa: E402,F401
+from . import llm_text  # noqa: E402,F401
+from . import llm_dedup  # noqa: E402,F401
+from . import llm_similarity  # noqa: E402,F401
+from . import streaming_q  # noqa: E402,F401
+from . import multimodal_q  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

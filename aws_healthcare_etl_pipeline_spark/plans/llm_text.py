@@ -1,0 +1,187 @@
+"""Text-analysis queries over the documents fixture (SURVEY.md §2.8):
+token counting, quality scoring, language-ID, fingerprinting — all
+oracle-checked (every expression has an exact DuckDB equivalent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, normalize_text, token_count
+from ..operators.dedup import exact_duplicate_clusters
+from ..operators.text import LANG_MARKERS, language_id, quality_scores
+from ..sources.tables import load_table
+from .registry import query
+
+# DuckDB equivalents of functions/text.py helpers. regexp_replace needs
+# the 'g' flag in DuckDB (Spark replaces all matches by default).
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_TOKENS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+@query(
+    "text_token_stats_by_lang",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM({SQL_TOKENS}) AS total_tokens,
+               MIN({SQL_TOKENS}) AS min_tokens,
+               MAX({SQL_TOKENS}) AS max_tokens,
+               CAST(SUM({SQL_TOKENS}) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Whitespace token counting + corpus stats per language.",
+)
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = token_count(F.col("text")).cast("bigint")
+    return (
+        docs.withColumn("n_tokens", nt)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_EN = LANG_MARKERS["en"]
+_SQL_STOP = r"\b(" + "|".join(_EN) + r")\b"
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST({SQL_TOKENS} AS DOUBLE) AS n_tokens,
+                   CAST(length({SQL_NORM}) AS DOUBLE) AS n_chars_norm,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+                   CAST(len(regexp_extract_all({SQL_NORM}, '{_SQL_STOP}')) AS DOUBLE)
+                       AS stop
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_chars_norm,
+               round(punct / greatest(n_chars_norm, 1.0), 6) AS punct_ratio,
+               round(stop / greatest(n_tokens, 1.0), 6) AS stopword_ratio,
+               round((n_chars_norm - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+               round(
+                   least(n_tokens / 64.0, 1.0) * 0.4
+                   + least(stop / greatest(n_tokens, 1.0) * 4.0, 1.0) * 0.3
+                   + (1.0 - least(punct / greatest(n_chars_norm, 1.0) * 10.0, 1.0)) * 0.3,
+               6) AS quality_score
+        FROM base
+        ORDER BY doc_id
+    """,
+    description="Quality scoring: length/punctuation/stopword signals per doc.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        quality_scores(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars_norm",
+            "punct_ratio",
+            "stopword_ratio",
+            "avg_token_len",
+            "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_LANGID_HITS = {
+    lang: f"len(regexp_extract_all({SQL_NORM}, '\\b(" + "|".join(m) + r")\b'))"
+    for lang, m in LANG_MARKERS.items()
+}
+_SQL_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_MARKERS) + ")"
+# CASE evaluated in sorted lang order -> earlier code wins ties (matches
+# operators/text.py reverse-otherwise chain)
+_SQL_PRED = (
+    "CASE WHEN " + _SQL_BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN h_{lang} = {_SQL_BEST} THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "text_language_id_confusion",
+    oracle=f"""
+        WITH scored AS (
+            SELECT lang,
+                   {", ".join(f"{expr} AS h_{lang}" for lang, expr in _SQL_LANGID_HITS.items())}
+            FROM documents
+        )
+        SELECT lang, {_SQL_PRED} AS predicted_lang, COUNT(*) AS n
+        FROM scored
+        GROUP BY lang, predicted_lang
+        ORDER BY lang, predicted_lang
+    """,
+    description="Heuristic n-gram/marker language ID -> confusion matrix vs "
+    "the labeled lang column.",
+)
+def text_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+@query(
+    "text_fingerprint_clusters",
+    oracle=f"""
+        SELECT md5({SQL_NORM}) AS fingerprint,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY fingerprint
+    """,
+    description="Document fingerprinting (md5 of normalized text) -> "
+    "exact-dedup clusters.",
+)
+def text_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicate_clusters(docs, "text", "doc_id").orderBy("fingerprint")
+
+
+@query(
+    "dedup_exact_counts_by_lang",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5({SQL_NORM})) AS n_distinct_texts
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Exact-dedup summary: distinct normalized texts per language.",
+)
+def dedup_exact_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(fingerprint_md5(F.col("text"))).alias("n_distinct_texts"),
+        )
+        .orderBy("lang")
+    )
