@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_md5, normalize_text, word_shingles
+from ..functions.text import (
+    fingerprint_md5,
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------- exact
@@ -62,20 +67,29 @@ def exact_duplicate_clusters(df: DataFrame, text_col: str, id_col: str) -> DataF
 
 # ------------------------------------------------------------- MinHash
 
-def minhash_signature(text: Column, num_hashes: int = 64, shingle_size: int = 3) -> Column:
-    """Array of ``num_hashes`` min-over-shingles seeded xxhash64 values.
+def minhash_signature_from_shingles(shingles: Column, num_hashes: int = 64) -> Column:
+    """Array of ``num_hashes`` min-over-shingles hash values.
 
-    Seeded by prepending a literal to the hash input — xxhash64 is a
-    built-in Catalyst expression, so the full signature is computed in
-    one codegen'd projection.
+    Each shingle string is hashed ONCE (xxhash64 on the string); the
+    per-seed family re-hashes that 8-byte base value (xxhash64 with a
+    seed literal prepended) — fixed-width input, so the expensive
+    variable-length string hashing is not repeated per seed. Entirely
+    built-in Catalyst expressions inside one codegen'd projection;
+    no multiplication, so safe under ANSI mode.
     """
-    sh = F.array_distinct(word_shingles(text, shingle_size))
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(base, lambda b, i=i: F.xxhash64(F.lit(i), b)))
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_size: int = 3) -> Column:
+    """MinHash signature straight from a text column."""
+    sh = F.array_distinct(word_shingles(text, shingle_size))
+    return minhash_signature_from_shingles(sh, num_hashes)
 
 
 def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
@@ -95,9 +109,12 @@ def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two (distinct-element) arrays."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+    """Exact Jaccard similarity of two (distinct-element) arrays.
+
+    Single array_intersect evaluation (|A∪B| = |A|+|B|-|A∩B|).
+    """
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
 
 
 def minhash_near_duplicates(
@@ -119,10 +136,21 @@ def minhash_near_duplicates(
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
 
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_size)).alias("shingles"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_size).alias("sig"),
+    # three explicit projections: tokenize -> shingle -> sign. Each
+    # lambda then only indexes a materialized array attribute (see
+    # shingles_from_tokens performance contract).
+    sigs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(normalize_text(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(
+                shingles_from_tokens(F.col("toks"), shingle_size)
+            ).alias("shingles"),
+        )
+        .withColumn("sig", minhash_signature_from_shingles(F.col("shingles"), num_hashes))
     )
     buckets = sigs.select(
         "doc_id",
@@ -242,28 +270,72 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard within blocking-key groups.
+    """Exact all-pairs n-gram Jaccard >= threshold via prefix filtering
+    (the PPJoin candidate-generation principle).
 
-    The self-join is restricted to equal ``block_cols`` (e.g. language
-    + length bucket), which is what keeps it off O(n^2) at scale —
-    block sizing is the caller's scale contract.
+    Shingle sets are hashed to int64 and canonically sorted; each doc
+    exposes only its ``|X| - ceil(t*|X|) + 1`` smallest hashes. Any
+    pair with J >= t has overlap >= ceil(t*max(|A|,|B|)), so the two
+    prefixes must share an element — candidates are exactly the pairs
+    sharing a prefix hash (plus equal ``block_cols``), with NO false
+    negatives. Cheap size-ratio pruning (J <= min/max sizes) runs
+    before the exact verify. Only (id, hash64) pairs shuffle during
+    candidate generation; shingle arrays travel once, for verification
+    of surviving candidates.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(word_shingles(F.col(text_col), shingle_size)).alias("shingles"),
+        tokens(normalize_text(F.col(text_col))).alias("toks"),
+    ).select(
+        "doc_id",
+        *block_cols,
+        F.array_distinct(
+            shingles_from_tokens(F.col("toks"), shingle_size)
+        ).alias("shingles"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    hashed = base.select(
+        "doc_id",
+        *block_cols,
+        "shingles",
+        F.array_sort(
+            F.array_distinct(F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
+        ).alias("hs"),
+    ).withColumn("n_sh", F.size("hs"))
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = hashed.select(
+        "doc_id",
+        *block_cols,
+        "n_sh",
+        F.explode(F.slice(F.col("hs"), 1, F.greatest(prefix_len, F.lit(1)))).alias("ph"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cond = (F.col("a.ph") == F.col("b.ph")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    # size-ratio bound: J <= min(|A|,|B|)/max(|A|,|B|)
+    cond = cond & (
+        F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+        >= F.lit(float(threshold)) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
+    candidates = (
         a.join(b, cond)
-        .withColumn("jaccard", jaccard(F.col("a.shingles"), F.col("b.shingles")))
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("jaccard"),
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = hashed.select("doc_id", "shingles")
+    return (
+        candidates.join(
+            sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"),
+            "id_a",
         )
+        .join(
+            sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )

@@ -29,12 +29,16 @@ PERTURB_OFFSET = 1_000_000
 def perturbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-duplicate copies (last 2 words dropped)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    toks = tokens(F.col("text"))
-    clipped = F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))))
-    near = docs.select(
-        (F.col("doc_id") + PERTURB_OFFSET).alias("doc_id"),
-        clipped.alias("text"),
-        "lang",
+    # materialize the token array before slicing (tokenize once per row)
+    near = (
+        docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .select(
+            (F.col("doc_id") + PERTURB_OFFSET).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 2, F.lit(1)))
+            ).alias("text"),
+            "lang",
+        )
     )
     return docs.unionByName(near)
 

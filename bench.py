@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_suite_wall_sec", "value": <total>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect), so timings reflect the distributed plan, not
+driver-side transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_healthcare_etl_pipeline_spark.plans import REGISTRY  # noqa: E402
+from aws_healthcare_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative, scale-sensitive subset of the registry: the reference
+# pipeline, heavy aggregation, star joins, windows, as-of, streaming,
+# and the LLM-data operators.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q3_shipping_priority",
+    "join_brand_supplier_volume",
+    "left_join_order_counts",
+    "agg_distinct_suppliers_per_flag",
+    "window_lag_order_deltas",
+    "window_running_supplier_revenue",
+    "window_topk_parts_per_brand",
+    "asof_purchase_last_click",
+    "sessionize_user_events",
+    "streaming_hourly_counts",
+    "json_events_props",
+    "ref_ingest_roundtrip",
+    "text_fingerprint_clusters",
+    "text_quality_scores",
+    "dedup_minhash_lsh_pairs",
+    "sim_bruteforce_topk",
+]
+
+
+def main() -> None:
+    # sf0.1 parquet files are ~1-25 MB — at the default 128 MB split
+    # size every scan is 1 task. 4 MB splits give the 32 local cores
+    # work; on a real cluster at 100 TB the default (set in session.py)
+    # is correct and this override would be dropped.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+    )
+    # warm the session (JVM + parquet footer reads) outside timed region
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
