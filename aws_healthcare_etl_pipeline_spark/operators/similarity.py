@@ -58,21 +58,20 @@ def brute_force_top_k(
     )
 
 
-def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((bits, dim)).tolist()
+    return rng.standard_normal((n, dim)).tolist()
 
 
-def _signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH signature: bit p = 1 iff dot(vec, plane_p) > 0."""
-    bits = []
+def _table_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH signature over one table's hyperplanes: bit p set iff
+    dot(vec, plane_p) > 0. Returns an int in [0, 2^len(planes))."""
+    sig = F.lit(0)
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        d = dot(vec, lit_plane)
-        bits.append(F.when(d > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
+        sig = sig.bitwiseOR(
+            F.when(dot(vec, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
     return sig
 
 
@@ -81,34 +80,73 @@ def lsh_top_k(
     queries: DataFrame,
     k: int,
     dim: int,
-    bits: int = 16,
-    probe_hamming: int = 2,
+    bits_per_table: int = 8,
+    n_tables: int = 8,
+    multiprobe: bool = True,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k cosine via sign-LSH bucketing + multi-probe.
+    """Approximate top-k cosine via multi-table sign-LSH.
 
-    Candidates = corpus vectors whose signature differs from the query
-    signature in <= probe_hamming bits; exact cosine is computed only
-    on candidates. Same output schema as brute_force_top_k (may miss
-    true neighbors — that's the approximation contract).
+    Classic (b, L) scheme: L independent tables of b hyperplane-sign
+    bits; a corpus vector is a candidate for a query if any table's
+    signatures collide. With ``multiprobe`` the query also probes every
+    1-bit-flip of its signature (b extra probes/table), trading probe
+    fan-out for fewer tables. Exact cosine is then computed on
+    candidates only, so returned scores are exact — the approximation
+    is only which candidates are seen (recall < 1 by contract).
+
+    Scale shape: the corpus emits L compact (table, sig, id) rows —
+    no vectors — into an equi-join against the broadcast query probes;
+    only distinct candidate pairs fetch vectors for scoring. At the
+    defaults and cosine≈0.3 neighbors (near-orthogonal background)
+    expected recall is ~0.5-0.6 while scoring ~25% of the corpus;
+    higher-similarity corpora prune far harder.
     """
-    planes = _hyperplanes(dim, bits, seed)
-    c = corpus.select(corpus_id, corpus_vec, _signature(F.col(corpus_vec), planes).alias("c_sig"))
-    q = F.broadcast(
-        queries.select(query_id, query_vec, _signature(F.col(query_vec), planes).alias("q_sig"))
-    )
-    cand = c.join(
-        q,
-        F.bit_count(F.col("c_sig").bitwiseXOR(F.col("q_sig"))) <= probe_hamming,
-    ).filter(F.col(corpus_id) != F.col(query_id))
-    scored = cand.select(
-        query_id,
+    planes = _hyperplanes(dim, bits_per_table * n_tables, seed)
+    tables = [planes[t * bits_per_table : (t + 1) * bits_per_table] for t in range(n_tables)]
+
+    c_sig = corpus.select(
         corpus_id,
-        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+        F.posexplode(
+            F.array(*[_table_signature(F.col(corpus_vec), tp) for tp in tables])
+        ).alias("t", "sig"),
+    )
+
+    probe_structs = []
+    for t, tp in enumerate(tables):
+        s = _table_signature(F.col(query_vec), tp)
+        probe_structs.append(F.struct(F.lit(t).alias("t"), s.alias("sig")))
+        if multiprobe:
+            for b in range(bits_per_table):
+                probe_structs.append(
+                    F.struct(
+                        F.lit(t).alias("t"), s.bitwiseXOR(F.lit(1 << b)).alias("sig")
+                    )
+                )
+    q_probes = F.broadcast(
+        queries.select(
+            query_id, F.explode(F.array(*probe_structs)).alias("probe")
+        ).select(query_id, F.col("probe.t").alias("t"), F.col("probe.sig").alias("sig"))
+    )
+
+    candidates = (
+        c_sig.join(q_probes, ["t", "sig"])
+        .filter(F.col(corpus_id) != F.col(query_id))
+        .select(query_id, corpus_id)
+        .distinct()
+    )
+    scored = (
+        candidates.join(corpus.select(corpus_id, corpus_vec), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     return (

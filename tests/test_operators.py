@@ -1,0 +1,143 @@
+"""Unit tests for composed operators on tiny inline DataFrames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_healthcare_etl_pipeline_spark.operators.asof import asof_join
+from aws_healthcare_etl_pipeline_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicate_clusters,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from aws_healthcare_etl_pipeline_spark.operators.topk import top_k_per_group
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ----------------------------------------------------------------- asof
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), "t1"),
+            (1, ts("2024-01-01T12:00:00"), "t2"),
+            (2, ts("2024-01-01T09:00:00"), "t3"),
+        ],
+        "key int, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:30:00"), 10.0),
+            (1, ts("2024-01-01T11:00:00"), 20.0),
+            (1, ts("2024-01-01T12:00:00"), 30.0),
+            (2, ts("2024-01-01T09:30:00"), 40.0),
+        ],
+        "key int, rt timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r.tag: r.v
+        for r in asof_join(left, right, on="key", left_time="t", right_time="rt").collect()
+    }
+    assert out["t1"] == 10.0          # 09:30 is nearest earlier
+    assert out["t2"] == 30.0          # equal timestamp matches (inclusive)
+    assert out["t3"] is None          # no right row at/before 09:00 -> NULL
+
+
+def test_asof_forward(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r.tag: r.v
+        for r in asof_join(
+            left, right, on="key", left_time="t", right_time="rt", direction="forward"
+        ).collect()
+    }
+    assert out["t1"] == 20.0          # nearest later is 11:00
+    assert out["t2"] == 30.0          # inclusive
+    assert out["t3"] == 40.0
+
+
+# ----------------------------------------------------------------- topk
+
+def test_topk_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 4.0), ("b", 4, 9.0)],
+        "g string, id int, v double",
+    )
+    rows = top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=2
+    ).collect()
+    got = {(r.g, r.rn): r.id for r in rows}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 4}
+
+
+# ---------------------------------------------------------------- dedup
+
+@pytest.fixture()
+def dup_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick   brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # normalized dup of 1
+            (3, "a completely different document about spark engines"),
+            (4, "The quick brown fox jumps over the lazy dog today"),  # near-dup
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark, dup_docs):
+    kept = sorted(
+        r.doc_id for r in drop_exact_duplicates(dup_docs, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3, 4]
+    clusters = {
+        r.keeper_id: r.n_copies
+        for r in exact_duplicate_clusters(dup_docs, "text", "doc_id").collect()
+    }
+    assert clusters == {1: 2, 3: 1, 4: 1}
+
+
+def test_minhash_finds_near_dup(spark, dup_docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            dup_docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs  # exact dup: jaccard 1.0
+    assert (1, 4) in pairs or (2, 4) in pairs  # near-dup shares most shingles
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_dup(spark, dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(dup_docs, "text", "doc_id", max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical after normalization
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_exactness(spark, dup_docs):
+    rows = ngram_jaccard_pairs(
+        dup_docs, "text", "doc_id", block_cols=[], threshold=0.3
+    ).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert j[(1, 2)] == 1.0
+    # doc4 = doc1 + "today": shingles |A|=7,|B|=8, intersect=7 -> J=7/8
+    assert abs(j[(1, 4)] - 7 / 8) < 1e-12
+    assert not any(3 in p for p in j)
