@@ -1,4 +1,4 @@
-from .vectors import cosine_similarity, dot, l2_norm, normalize
+from .vectors import cosine_similarity, dot, l2_norm, scale_by
 from .text import (
     fingerprint_md5,
     normalize_text,
@@ -11,7 +11,7 @@ __all__ = [
     "cosine_similarity",
     "dot",
     "l2_norm",
-    "normalize",
+    "scale_by",
     "fingerprint_md5",
     "normalize_text",
     "token_count",

@@ -37,7 +37,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def normalize(a: Column) -> Column:
-    """Unit-normalize an array column (for cosine -> dot reduction)."""
-    n = l2_norm(a)
-    return F.transform(_as_double(a), lambda x: x / n)
+def scale_by(a: Column, divisor: Column) -> Column:
+    """Divide every element by ``divisor``.
+
+    PERFORMANCE CONTRACT: ``divisor`` must be a cheap expression or a
+    materialized column reference — anything referenced inside the
+    lambda is re-evaluated per array element. Unit-normalizing is
+    therefore two projections:
+
+        df.withColumn("n", l2_norm(F.col("v")))
+          .withColumn("unit", scale_by(F.col("v"), F.col("n")))
+
+    (an inline ``scale_by(v, l2_norm(v))`` would recompute the norm per
+    element — O(d^2) per vector).
+    """
+    return F.transform(_as_double(a), lambda x: x / divisor)

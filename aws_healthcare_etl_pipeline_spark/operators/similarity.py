@@ -23,7 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot, l2_norm
+from ..functions.vectors import dot, l2_norm
 
 
 def brute_force_top_k(
@@ -41,14 +41,25 @@ def brute_force_top_k(
     Returns (query_id, vec_id, cosine) with rank<=k per query;
     deterministic tiebreak on (cosine desc, vec_id asc).
     """
-    q = F.broadcast(queries.select(query_id, query_vec))
-    pairs = corpus.select(corpus_id, corpus_vec).crossJoin(q)
+    # norms are materialized once per row on each side, so the per-pair
+    # work is a single dot product — the inline cosine_similarity form
+    # would recompute both norms for every (query, corpus) pair.
+    q = F.broadcast(
+        queries.select(query_id, query_vec).withColumn("q_norm", l2_norm(F.col(query_vec)))
+    )
+    c = corpus.select(corpus_id, corpus_vec).withColumn(
+        "c_norm", l2_norm(F.col(corpus_vec))
+    )
+    pairs = c.crossJoin(q)
     if not include_self:
         pairs = pairs.filter(F.col(corpus_id) != F.col(query_id))
     scored = pairs.select(
         query_id,
         corpus_id,
-        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+        (
+            dot(F.col(query_vec), F.col(corpus_vec))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())
     return (
@@ -140,12 +151,27 @@ def lsh_top_k(
         .distinct()
     )
     scored = (
-        candidates.join(corpus.select(corpus_id, corpus_vec), corpus_id)
-        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        candidates.join(
+            corpus.select(corpus_id, corpus_vec).withColumn(
+                "c_norm", l2_norm(F.col(corpus_vec))
+            ),
+            corpus_id,
+        )
+        .join(
+            F.broadcast(
+                queries.select(query_id, query_vec).withColumn(
+                    "q_norm", l2_norm(F.col(query_vec))
+                )
+            ),
+            query_id,
+        )
         .select(
             query_id,
             corpus_id,
-            cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+            (
+                dot(F.col(query_vec), F.col(corpus_vec))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id).asc())

@@ -73,6 +73,50 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                   AS cosine
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+              >= 0.3
+        ORDER BY id_a, id_b
+    """,
+    description="Embedding-cosine near-duplicate pairs (all-pairs exact at "
+    "test scale; the documented scale path swaps in LSH candidates first).",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")).withColumn(
+        "n_a", l2_norm(F.col("e_a"))
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b")).withColumn(
+        "n_b", l2_norm(F.col("e_b"))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "emb_norm_stats_by_label",
     oracle="""
         WITH n AS (
