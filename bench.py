@@ -47,6 +47,8 @@ HEADLINE = [
     "text_quality_scores",
     "dedup_minhash_lsh_pairs",
     "sim_bruteforce_topk",
+    "q6_forecast_revenue",
+    "pipeline_training_data_prep",
 ]
 
 
