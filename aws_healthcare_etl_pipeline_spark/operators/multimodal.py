@@ -86,6 +86,96 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def resize_images(df: DataFrame, size: tuple[int, int] = (4, 4), id_col: str = "doc_id") -> DataFrame:
+    """Resize kernel plumbing (nearest-neighbor on the fake 8x8 decode).
+
+    Swapping the inner `_decode`/`_resize` pair for Pillow calls makes
+    this a real image resizer; schema, batching, and partitioning are
+    already production-shaped.
+    """
+    w, h = size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(payload: bytes) -> "_np.ndarray":
+            digest = _hashlib.md5(payload).digest()
+            return _np.frombuffer(digest * 4, dtype=_np.uint8).reshape(8, 8)
+
+        def _resize(img: "_np.ndarray") -> "_np.ndarray":
+            ys = (_np.arange(h) * img.shape[0] // h)
+            xs = (_np.arange(w) * img.shape[1] // w)
+            return img[_np.ix_(ys, xs)]
+
+        for pdf in it:
+            resized = [_resize(_decode(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": w,
+                    "height": h,
+                    "pixels": [r.ravel().astype("int32") for r in resized],
+                }
+            )
+
+    return df.select(id_col, "payload").withColumnRenamed(id_col, "doc_id").mapInPandas(
+        batches, RESIZE_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Video frame-sampling plumbing: treat the payload as a frame
+    sequence (fake: 16-byte strides of the md5-extended payload), emit
+    every ``every_n``-th frame as its own row — the 1:N explode shape a
+    real ffmpeg-backed sampler produces.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        out_ids, out_idx, out_ck = [], [], []
+        for pdf in it:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                stream = _hashlib.md5(payload).digest() * 16  # fake 16 frames
+                for fi in range(0, 16, every_n):
+                    frame = stream[fi * 16 : (fi + 1) * 16]
+                    out_ids.append(int(doc_id))
+                    out_idx.append(fi)
+                    out_ck.append(_hashlib.md5(frame).hexdigest())
+            yield _pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame_checksum": out_ck}
+            )
+            out_ids, out_idx, out_ck = [], [], []
+
+    return df.select(id_col, "payload").withColumnRenamed(id_col, "doc_id").mapInPandas(
+        batches, FRAME_SAMPLE_SCHEMA
+    )
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -74,16 +74,26 @@ def _hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
-def _table_signature(vec: Column, planes: list[list[float]]) -> Column:
+def _table_signature(vec_col: str, planes: list[list[float]]) -> Column:
     """Sign-LSH signature over one table's hyperplanes: bit p set iff
-    dot(vec, plane_p) > 0. Returns an int in [0, 2^len(planes))."""
-    sig = F.lit(0)
+    dot(vec, plane_p) > 0. Returns an int in [0, 2^len(planes)).
+
+    Built as ONE SQL expression string: the column-object form costs a
+    py4j round trip per operator node (~10 per plane; plan construction
+    alone took seconds per call), while a single F.expr parses
+    table-at-once on the JVM. repr() round-trips doubles exactly, so
+    the parsed hyperplane literals are bit-identical to the NumPy
+    values. Disjoint power-of-two terms make + equivalent to OR.
+    """
+    parts = []
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        sig = sig.bitwiseOR(
-            F.when(dot(vec, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+        dot_sql = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x AS double) * y), "
+            "0D, (acc, x) -> acc + x)"
         )
-    return sig
+        parts.append(f"(CASE WHEN {dot_sql} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(parts))
 
 
 def lsh_top_k(
@@ -120,16 +130,31 @@ def lsh_top_k(
     planes = _hyperplanes(dim, bits_per_table * n_tables, seed)
     tables = [planes[t * bits_per_table : (t + 1) * bits_per_table] for t in range(n_tables)]
 
-    c_sig = corpus.select(
+    # Each table signature (with its 64-dim literal hyperplanes) is
+    # materialized ONCE as a column; the explode/probe expressions then
+    # reference cheap attributes. Building probes directly from the
+    # signature expression would embed the full hyperplane tree into
+    # every probe struct — (1+bits)*tables copies — and codegen
+    # compilation time dwarfs the actual scan.
+    sig_cols = [f"__sig_{t}" for t in range(n_tables)]
+
+    def with_sigs(df: DataFrame, vec_col: str) -> DataFrame:
+        return df.select(
+            "*",
+            *[
+                _table_signature(vec_col, tp).alias(sc)
+                for sc, tp in zip(sig_cols, tables)
+            ],
+        )
+
+    c_sig = with_sigs(corpus.select(corpus_id, corpus_vec), corpus_vec).select(
         corpus_id,
-        F.posexplode(
-            F.array(*[_table_signature(F.col(corpus_vec), tp) for tp in tables])
-        ).alias("t", "sig"),
+        F.posexplode(F.array(*[F.col(sc) for sc in sig_cols])).alias("t", "sig"),
     )
 
     probe_structs = []
-    for t, tp in enumerate(tables):
-        s = _table_signature(F.col(query_vec), tp)
+    for t, sc in enumerate(sig_cols):
+        s = F.col(sc)
         probe_structs.append(F.struct(F.lit(t).alias("t"), s.alias("sig")))
         if multiprobe:
             for b in range(bits_per_table):
@@ -139,9 +164,9 @@ def lsh_top_k(
                     )
                 )
     q_probes = F.broadcast(
-        queries.select(
-            query_id, F.explode(F.array(*probe_structs)).alias("probe")
-        ).select(query_id, F.col("probe.t").alias("t"), F.col("probe.sig").alias("sig"))
+        with_sigs(queries.select(query_id, query_vec), query_vec)
+        .select(query_id, F.explode(F.array(*probe_structs)).alias("probe"))
+        .select(query_id, F.col("probe.t").alias("t"), F.col("probe.sig").alias("sig"))
     )
 
     candidates = (

@@ -77,3 +77,51 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """md5 fingerprint of normalized text — the exact-dedup key."""
     return df.withColumn("fingerprint", fingerprint_md5(F.col(text_col)))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, the
+    MOSS scheme): hash every k-char gram of the normalized text, slide
+    a window of ``window`` hashes, keep each window's minimum —
+    guaranteeing any match of length >= k+window-1 shares a
+    fingerprint. Output: (id, fingerprint) distinct pairs.
+
+    All Catalyst expressions: char-gram hashes via substring over a
+    materialized text attribute (O(len*k) — k is small), window minima
+    via transform over a position sequence indexing a materialized hash
+    array (O(len*window)).
+    """
+    norm = df.select(
+        F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("ntext")
+    )
+    # gram hashes as a materialized array column (attribute reference,
+    # not recomputed inside downstream lambdas)
+    with_hashes = norm.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("ntext") - F.lit(k - 1), F.lit(1))
+            ),
+            lambda i: F.xxhash64(F.col("ntext").substr(i, F.lit(k))),
+        ).alias("gram_hashes"),
+    )
+    mins = with_hashes.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("gram_hashes") - F.lit(window - 1), F.lit(1)),
+            ),
+            lambda i: F.array_min(F.slice(F.col("gram_hashes"), i, window)),
+        ).alias("window_mins"),
+    )
+    return (
+        mins.select("doc_id", F.explode("window_mins").alias("fingerprint"))
+        .distinct()
+    )

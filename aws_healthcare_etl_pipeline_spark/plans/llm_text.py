@@ -185,3 +185,53 @@ def dedup_exact_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle=f"""
+        SELECT lang,
+               SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS est_subword_tokens,
+               SUM({SQL_TOKENS}) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS DOUBLE)
+                   / SUM({SQL_TOKENS}) AS expansion_ratio
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="BPE-ish token estimation: word+punctuation regex segments "
+    "as a subword-count proxy, vs whitespace tokens.",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_count("text", F.lit(r"\w+|[^\w\s]")).cast("bigint")
+    ws = token_count(F.col("text")).cast("bigint")
+    return (
+        docs.select("lang", bpe.alias("bpe"), ws.alias("ws"))
+        .groupBy("lang")
+        .agg(
+            F.sum("bpe").alias("est_subword_tokens"),
+            F.sum("ws").alias("ws_tokens"),
+            (F.sum("bpe").cast("double") / F.sum("ws")).alias("expansion_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    description="Rolling-hash winnowing fingerprints (MOSS scheme): per-doc "
+    "distinct window-min k-gram hashes -> shared-fingerprint doc pairs. "
+    "xxhash64-based, not expressible in DuckDB -> rows-only; pytest covers "
+    "the guarantee.",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "text", "doc_id")
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )

@@ -62,3 +62,33 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_intensity", 6).alias("mean_intensity"),
         F.size("feature").alias("feature_dim"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_resize_stats",
+    description="Resize-kernel plumbing over binary payloads (nearest-"
+    "neighbor on the deterministic fake decode).",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs, "text")
+    resized = resize_images(with_payload, size=(4, 4))
+    return resized.select(
+        "doc_id", "width", "height", F.size("pixels").alias("n_pixels")
+    ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    description="Video frame-sampling plumbing: 1:N explode of sampled "
+    "frames with per-frame checksums (fake 16-frame stream).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs, "text")
+    frames = sample_frames(with_payload, every_n=4)
+    return frames.orderBy("doc_id", "frame_idx")

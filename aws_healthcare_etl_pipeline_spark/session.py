@@ -48,6 +48,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` under
+        # every explode(arr); for computed arrays the pushed-down filter
+        # re-inlines the ENTIRE array expression (attributes become
+        # inline subtrees again), re-evaluating expensive chains per row
+        # — winnowing fingerprints went O(len^2) from it. Our exploded
+        # arrays are non-empty by construction, so the rule only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
