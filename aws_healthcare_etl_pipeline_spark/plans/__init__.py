@@ -11,6 +11,7 @@ from .registry import REGISTRY, QuerySpec, query
 from . import reference  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import relational3  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import tpch_wave  # noqa: E402,F401
 from . import windows_analytic  # noqa: E402,F401
