@@ -13,16 +13,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_healthcare_etl_pipeline_spark.plans import REGISTRY
 
+# Runtime confs the queries depend on, applied to WHATEVER session the
+# driver hands us (it builds its own, not ours from session.py):
+#  - UTC: timestamp/date values must match the DuckDB oracle bit-for-bit
+#  - nanosAsLong: events.parquet is TIMESTAMP(NANOS), unreadable otherwise
+#  - excludedRules: InferFiltersFromGenerate re-inlines computed arrays
+#    under explode (see SCALE.md "Planner-level traps") — quadratic
+#    blowup for the winnowing/LSH/minhash queries
+_REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
+}
+
+
+def _prepared(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a locked conf is survivable; a missing one is not
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the 5-table star join
     (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region → revenue/region)."""
-    return REGISTRY["q5_region_revenue"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["q5_region_revenue"].fn(_prepared(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented query/operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_prepared(spark), sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
