@@ -1,4 +1,8 @@
 from .asof import asof_join
+from .clusters import connected_components
+from .ivf import ivf_top_k, train_ivf_centroids
+from .scd import scd2_apply, upsert_snapshot
+from .skew import salted_aggregate, salted_join
 from .topk import top_k_per_group
 from .dedup import (
     drop_exact_duplicates,
@@ -17,6 +21,13 @@ from .multimodal import (
 
 __all__ = [
     "asof_join",
+    "connected_components",
+    "ivf_top_k",
+    "train_ivf_centroids",
+    "scd2_apply",
+    "upsert_snapshot",
+    "salted_aggregate",
+    "salted_join",
     "top_k_per_group",
     "drop_exact_duplicates",
     "exact_duplicate_clusters",

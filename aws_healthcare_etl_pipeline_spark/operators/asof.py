@@ -35,6 +35,11 @@ def asof_join(
 
     Right rows with no match leave NULL payload columns (left join
     semantics). Equal timestamps match (inclusive bound).
+
+    Tie contract: if several right rows share the SAME (key, time), the
+    one carried forward is arbitrary (matching pandas merge_asof and
+    DuckDB ASOF, which are likewise unspecified there). Deduplicate the
+    right side on (key, time) first when that matters.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")

@@ -82,3 +82,26 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round("jaccard", 6))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_minhash_clusters",
+    description="Near-dup pairs -> connected components (min-label + "
+    "pointer jumping) -> cluster-size histogram; the pairs-to-clusters "
+    "step every real dedup pipeline needs.",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import connected_components
+
+    corpus = perturbed_corpus(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        corpus, "text", "doc_id", num_hashes=64, bands=16, threshold=0.6
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
