@@ -235,3 +235,40 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_fingerprints"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sampling_hash_split",
+    oracle=f"""
+        SELECT lang,
+               CASE WHEN substr(md5({SQL_NORM}), 1, 1) <= 'b' THEN 'train'
+                    WHEN substr(md5({SQL_NORM}), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               SUM({SQL_TOKENS}) AS n_tokens
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY lang, split
+    """,
+    description="Deterministic content-hash train/val/test split (75/12.5/"
+    "12.5 by md5 first hex digit) — reproducible across engines, runs, and "
+    "partitionings; the standard leakage-safe split for training corpora.",
+)
+def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.substring(fingerprint_md5(F.col("text")), 1, 1)
+    split = (
+        F.when(first_hex <= "b", "train")
+        .when(first_hex <= "d", "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("lang", "split")
+    )

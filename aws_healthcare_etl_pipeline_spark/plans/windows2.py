@@ -105,3 +105,101 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderkey
         """
     )
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+        SELECT COUNT(*) AS n_purchases,
+               COUNT(*) FILTER (
+                   WHERE EXISTS (
+                       SELECT 1 FROM events c
+                       WHERE c.event_type = 'click'
+                         AND c.user_id = p.user_id
+                         AND c.ts < p.ts
+                         AND c.ts >= p.ts - INTERVAL 1 HOUR
+                   )
+               ) AS converted_within_1h,
+               round(CAST(COUNT(*) FILTER (
+                   WHERE EXISTS (
+                       SELECT 1 FROM events c
+                       WHERE c.event_type = 'click'
+                         AND c.user_id = p.user_id
+                         AND c.ts < p.ts
+                         AND c.ts >= p.ts - INTERVAL 1 HOUR
+                   )
+               ) AS DOUBLE) / COUNT(*), 9) AS conversion_rate
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    """,
+    description="Funnel analysis: purchases preceded by a click within 1h "
+    "(correlated temporal EXISTS -> semi join).",
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    converted = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts < purchases.ts)
+        & (clicks.c_ts >= purchases.ts - F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    n_conv = converted.agg(F.count(F.lit(1)).alias("c"))
+    n_all = purchases.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        n_all.crossJoin(n_conv)
+        .select(
+            F.col("n").alias("n_purchases"),
+            F.col("c").alias("converted_within_1h"),
+            F.round(F.col("c").cast("double") / F.col("n"), 9).alias(
+                "conversion_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "top_ngrams_per_lang",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+        ), counts AS (
+            SELECT lang, w, COUNT(*) AS n FROM toks GROUP BY lang, w
+        )
+        SELECT lang, w, n, rn
+        FROM (
+            SELECT lang, w, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n DESC, w
+                   ) AS rn
+            FROM counts
+        ) t
+        WHERE rn <= 5
+        ORDER BY lang, rn
+    """,
+    description="Top-5 tokens per language: explode -> count -> per-group "
+    "top-k (WindowGroupLimit over an aggregate).",
+)
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        top_k_per_group(counts, ["lang"], [F.col("n").desc(), F.col("w").asc()], k=5)
+        .select("lang", "w", "n", "rn")
+        .orderBy("lang", "rn")
+    )
