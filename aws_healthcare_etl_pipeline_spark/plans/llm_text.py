@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_md5, normalize_text, token_count
+from ..functions.text import fingerprint_md5, token_count
 from ..operators.dedup import exact_duplicate_clusters
 from ..operators.text import LANG_MARKERS, language_id, quality_scores
 from ..sources.tables import load_table

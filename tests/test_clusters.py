@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 
 from aws_healthcare_etl_pipeline_spark.operators.clusters import (
     connected_components,

@@ -5,7 +5,6 @@ pushdown, WindowGroupLimit, bucketed shuffle-free joins).
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from aws_healthcare_etl_pipeline_spark.plans import REGISTRY

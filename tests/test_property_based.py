@@ -7,7 +7,6 @@ from __future__ import annotations
 import datetime as dt
 
 import pandas as pd
-import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from aws_healthcare_etl_pipeline_spark.sources.csv_ingest import IngestConfig
-from aws_healthcare_etl_pipeline_spark.sources.tables import load_table
+
 from aws_healthcare_etl_pipeline_spark.streaming.ingest_stream import (
     start_incremental_ingest,
 )
