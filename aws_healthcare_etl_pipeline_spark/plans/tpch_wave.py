@@ -246,3 +246,91 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q7_nation_trade_pairs",
+    oracle=f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name < cn.n_name
+        GROUP BY sn.n_name, cn.n_name
+        ORDER BY supp_nation, cust_nation
+    """,
+    description="TPC-H Q7 shape: one dimension (nation) joined under two "
+    "roles (supplier's and customer's) with an inter-role predicate.",
+)
+def q7_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+@query(
+    "agg_variance_exact",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               round(
+                   (CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))
+                             * CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+                    - CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+                      * CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+                      / COUNT(*))
+                   / (COUNT(*) - 1),
+               0) AS var_samp_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="Sample variance assembled from EXACT decimal moments "
+    "(sum x, sum x^2) so the result is order-insensitive and engine-"
+    "portable — the built-in var_samp streams doubles and is neither.",
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = dec("o_totalprice")
+    n = F.count(F.lit(1))
+    sx = F.sum(x).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            n.alias("n"),
+            # rounded to WHOLE units: the variance is ~2e10, so double
+            # carries only ~5 fractional digits of absolute precision and
+            # the last-ulp divergence of huge decimal->double conversions
+            # lands around 1e-4 — far from the 0.5 rounding boundary
+            F.round((sxx - sx * sx / n) / (n - F.lit(1)), 0).alias("var_samp_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
