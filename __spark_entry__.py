@@ -7,11 +7,19 @@ with SQL-expressible semantics carry a DuckDB oracle string.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aws_healthcare_etl_pipeline_spark.plans import REGISTRY
+# the engine package lives next to this file; make the import robust to
+# however the harness loads this module (file-path import, foreign cwd)
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from aws_healthcare_etl_pipeline_spark.plans import REGISTRY  # noqa: E402
 
 # Runtime confs the queries depend on, applied to WHATEVER session the
 # driver hands us (it builds its own, not ours from session.py):
