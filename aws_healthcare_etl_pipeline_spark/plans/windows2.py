@@ -203,3 +203,83 @@ def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "w", "n", "rn")
         .orderBy("lang", "rn")
     )
+
+
+@query(
+    "events_daily_active_users",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(DISTINCT user_id) AS dau,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY day
+    """,
+    description="Daily active users: exact distinct per day + event volume "
+    "(the canonical engagement rollup).",
+)
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "feature_zscore_prices",
+    oracle="""
+        WITH stats AS (
+            SELECT o_orderpriority AS prio,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))
+                            * CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sxx
+            FROM orders GROUP BY 1
+        )
+        SELECT o_orderkey, o_orderpriority,
+               round((o_totalprice - sx / n)
+                     / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS price_zscore
+        FROM orders JOIN stats ON o_orderpriority = stats.prio
+        WHERE o_orderkey < 1000
+        ORDER BY o_orderkey
+    """,
+    description="Feature engineering: per-group z-score from exact decimal "
+    "moments (broadcast stats join; 4-dp rounding absorbs the sub-ulp "
+    "divergence of huge decimal->double conversions).",
+)
+def feature_zscore_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = dec("o_totalprice")
+    stats = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    return (
+        orders.filter(F.col("o_orderkey") < 1000)
+        .join(F.broadcast(stats), orders.o_orderpriority == stats.prio)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("o_totalprice") - F.col("sx") / F.col("n"))
+                / F.sqrt(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                    / (F.col("n") - F.lit(1))
+                ),
+                4,
+            ).alias("price_zscore"),
+        )
+        .orderBy("o_orderkey")
+    )
