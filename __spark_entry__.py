@@ -42,7 +42,25 @@ def _prepared(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # a locked conf is survivable; a missing one is not
+            pass  # diagnosed by the read-back below, with a clear message
+    # Verify every required conf actually took effect: a session that
+    # locks e.g. nanosAsLong would otherwise fail much later with an
+    # opaque parquet/hash error on every events-table query.
+    problems = []
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            got = spark.conf.get(k, None)
+        except Exception:
+            got = None
+        if got != v:
+            problems.append(f"{k}={got!r} (need {v!r})")
+    if problems:
+        raise RuntimeError(
+            "session confs required by this engine could not be applied: "
+            + "; ".join(problems)
+            + ". events.parquet is TIMESTAMP(NANOS) and the oracle compare "
+            "is UTC-pinned — these confs must be settable on the session."
+        )
     return spark
 
 

@@ -28,6 +28,7 @@ from ..functions.text import (
     normalize_text,
     shingles_from_tokens,
     tokens,
+    word_shingles,
 )
 
 
@@ -115,12 +116,19 @@ def minhash_signature_from_shingles(shingles: Column, num_hashes: int = 64) -> C
     no multiplication, so safe under ANSI mode.
     """
     base = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.array(
-        *[
-            F.array_min(F.transform(base, lambda b, i=i: F.xxhash64(F.lit(i), b)))
-            for i in range(num_hashes)
-        ]
-    )
+
+    # CAUTION: the per-seed lambda must take exactly ONE parameter.
+    # PySpark dispatches higher-order-function lambdas by arity: a
+    # 2-arg lambda is called as (element, index), so the old
+    # ``lambda b, i=i: xxhash64(lit(i), b)`` had its seed default
+    # silently replaced by the array-index Column — collapsing all
+    # ``num_hashes`` functions into ONE position-sensitive hash and
+    # destroying the signature (caught by the r2 ground-truth sweep;
+    # pinned in tests/test_operators.py::test_minhash_seed_family).
+    def _seed_min(seed: int) -> Column:
+        return F.array_min(F.transform(base, lambda b: F.xxhash64(F.lit(seed), b)))
+
+    return F.array(*[_seed_min(i) for i in range(num_hashes)])
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, shingle_size: int = 3) -> Column:
@@ -149,9 +157,15 @@ def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays.
 
     Single array_intersect evaluation (|A∪B| = |A|+|B|-|A∩B|).
+    Edge contract (pinned by tests/test_operators.py): two EMPTY sets
+    are identical documents -> 1.0, not null (0/0). One-empty pairs
+    fall out as 0.0 from the formula.
     """
     inter = F.size(F.array_intersect(a, b))
-    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union
+    )
 
 
 def minhash_near_duplicates(

@@ -151,7 +151,7 @@ def string_function_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                sqrt(o_totalprice) AS sqrt_price,
                abs(o_totalprice - 250000.0) AS abs_dist,
-               sign(o_totalprice - 250000.0) AS sign_dist,
+               CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS sign_dist,
                CAST(o_orderkey % 7 AS BIGINT) AS mod7,
                CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_kilo_ceil,
                CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_kilo_floor,

@@ -18,7 +18,8 @@ from .registry import query
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
         FROM events
         GROUP BY event_type
         ORDER BY event_type

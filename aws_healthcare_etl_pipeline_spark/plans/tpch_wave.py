@@ -212,7 +212,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                COUNT(*) AS docs_kept,
-               SUM(n_tokens) AS tokens_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
                COUNT(DISTINCT source) AS n_sources
         FROM keep
         WHERE rn = 1

@@ -132,6 +132,58 @@ def test_simhash_near_dup(spark, dup_docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_seed_family(spark):
+    """Regression: the 64 per-seed hash functions must be DISTINCT and
+    position-insensitive.
+
+    The r1 implementation used a 2-arg lambda (``lambda b, i=i: ...``)
+    for the per-seed rehash; PySpark dispatches HOF lambdas by arity,
+    so the seed default was silently replaced by the array-index
+    Column — collapsing all 64 seeds into one position-sensitive hash
+    (observed: sig agreement 0/64 on a J=0.97 pair whose arrays were
+    offset by one position).
+    """
+    from aws_healthcare_etl_pipeline_spark.operators.dedup import (
+        minhash_signature_from_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a b c", "b c d", "c d e", "d e f"]),
+            # same set minus one element, PREPENDED extra -> every shared
+            # element sits at a shifted position
+            (2, ["z z z", "a b c", "b c d", "c d e"]),
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    rows = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", minhash_signature_from_shingles(F.col("shingles"), 64).alias("sig")
+        ).collect()
+    }
+    # distinct seeds: a 4-element set collides to one min per seed, but
+    # across 64 independent seeds the mins must not all be equal
+    assert len(set(rows[1])) > 16, "per-seed hashes collapsed to one function"
+    # position-insensitivity: J = 3/5 -> expected agreement ~38/64;
+    # the broken version gave ~0 on shifted arrays
+    agree = sum(1 for x, y in zip(rows[1], rows[2]) if x == y)
+    assert agree >= 20, f"signature agreement {agree}/64 far below J=0.6"
+
+
+def test_jaccard_empty_set_contract(spark):
+    """Pinned edge: two EMPTY shingle sets are identical -> 1.0 (not
+    null); one-empty pairs -> 0.0."""
+    from aws_healthcare_etl_pipeline_spark.operators.dedup import jaccard
+
+    df = spark.createDataFrame(
+        [(1, [], []), (2, ["a"], []), (3, ["a"], ["a"])],
+        "id long, a array<string>, b array<string>",
+    )
+    got = {r.id: r.j for r in df.select("id", jaccard(F.col("a"), F.col("b")).alias("j")).collect()}
+    assert got == {1: 1.0, 2: 0.0, 3: 1.0}
+
+
 def test_ngram_jaccard_exactness(spark, dup_docs):
     rows = ngram_jaccard_pairs(
         dup_docs, "text", "doc_id", block_cols=[], threshold=0.3
