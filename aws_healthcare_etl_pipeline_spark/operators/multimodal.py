@@ -165,7 +165,13 @@ def sample_frames(df: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> Da
                     frame = stream[fi * 16 : (fi + 1) * 16]
                     out_ids.append(int(doc_id))
                     out_idx.append(fi)
-                    out_ck.append(_hashlib.md5(frame).hexdigest())
+                    # checksum over (index ':' hex(frame)): hex keeps the
+                    # check replicable by SQL engines whose md5() only
+                    # accepts strings; the index makes frames distinct
+                    # even when the fake decoder repeats payload bytes
+                    out_ck.append(
+                        _hashlib.md5(f"{fi}:{frame.hex()}".encode()).hexdigest()
+                    )
             yield _pd.DataFrame(
                 {"doc_id": out_ids, "frame_idx": out_idx, "frame_checksum": out_ck}
             )

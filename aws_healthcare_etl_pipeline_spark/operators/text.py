@@ -85,6 +85,7 @@ def winnowing_fingerprints(
     id_col: str,
     k: int = 8,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash selection, the
     MOSS scheme): hash every k-char gram of the normalized text, slide
@@ -96,7 +97,18 @@ def winnowing_fingerprints(
     materialized text attribute (O(len*k) — k is small), window minima
     via transform over a position sequence indexing a materialized hash
     array (O(len*window)).
+
+    ``portable=True`` switches the gram hash from xxhash64 (fastest,
+    JVM-only) to an md5-derived 60-bit value that external SQL engines
+    can recompute — the winnowing guarantee is hash-agnostic.
     """
+    if portable:
+        def gram_hash(g):
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    else:
+        def gram_hash(g):
+            return F.xxhash64(g)
+
     norm = df.select(
         F.col(id_col).alias("doc_id"), normalize_text(F.col(text_col)).alias("ntext")
     )
@@ -108,7 +120,7 @@ def winnowing_fingerprints(
             F.sequence(
                 F.lit(1), F.greatest(F.length("ntext") - F.lit(k - 1), F.lit(1))
             ),
-            lambda i: F.xxhash64(F.col("ntext").substr(i, F.lit(k))),
+            lambda i: gram_hash(F.col("ntext").substr(i, F.lit(k))),
         ).alias("gram_hashes"),
     )
     mins = with_hashes.select(

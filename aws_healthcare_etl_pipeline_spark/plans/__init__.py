@@ -14,9 +14,11 @@ from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import tpch_wave  # noqa: E402,F401
+from . import tpch_wave2  # noqa: E402,F401
 from . import windows_analytic  # noqa: E402,F401
 from . import windows2  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
+from . import llm_text2  # noqa: E402,F401
 from . import llm_dedup  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401

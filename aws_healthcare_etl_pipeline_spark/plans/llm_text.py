@@ -25,7 +25,7 @@ SQL_TOKENS = "len(regexp_split_to_array(trim(text), '\\s+'))"
     oracle=f"""
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM({SQL_TOKENS}) AS total_tokens,
+               CAST(SUM({SQL_TOKENS}) AS BIGINT) AS total_tokens,
                MIN({SQL_TOKENS}) AS min_tokens,
                MAX({SQL_TOKENS}) AS max_tokens,
                CAST(SUM({SQL_TOKENS}) AS DOUBLE) / COUNT(*) AS avg_tokens,
@@ -191,8 +191,9 @@ def dedup_exact_counts_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_token_estimate",
     oracle=f"""
         SELECT lang,
-               SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS est_subword_tokens,
-               SUM({SQL_TOKENS}) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))
+                    AS BIGINT) AS est_subword_tokens,
+               CAST(SUM({SQL_TOKENS}) AS BIGINT) AS ws_tokens,
                CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS DOUBLE)
                    / SUM({SQL_TOKENS}) AS expansion_ratio
         FROM documents
@@ -220,16 +221,44 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_winnowing_fingerprints",
+    oracle=f"""
+        WITH n AS (
+            SELECT doc_id, {SQL_NORM} AS ntext FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(length(ntext) - 7, 1) + 1),
+                     i -> list_reduce(
+                            list_transform(
+                              string_split_regex(
+                                substr(md5(substr(ntext, i::INT, 8)), 1, 15), ''),
+                              c -> strpos('0123456789abcdef', c) - 1)::BIGINT[],
+                            (a, b) -> a * 16 + b)
+                   ) AS hs
+            FROM n
+        ), w AS (
+            SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(len(hs) - 3, 1) + 1),
+                     i -> list_min(list_slice(hs, i::INT, i::INT + 3))
+                   ) AS mins
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints
+        FROM w
+        ORDER BY doc_id
+    """,
     description="Rolling-hash winnowing fingerprints (MOSS scheme): per-doc "
-    "distinct window-min k-gram hashes -> shared-fingerprint doc pairs. "
-    "xxhash64-based, not expressible in DuckDB -> rows-only; pytest covers "
-    "the guarantee.",
+    "distinct window-min 8-gram hashes (window 4). Portable md5-derived "
+    "60-bit gram hashes, so the oracle recomputes the full winnowing "
+    "selection in SQL; the production default stays xxhash64.",
 )
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(docs, "text", "doc_id")
+    fps = winnowing_fingerprints(docs, "text", "doc_id", portable=True)
     return (
         fps.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_fingerprints"))
@@ -245,7 +274,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN substr(md5({SQL_NORM}), 1, 1) <= 'd' THEN 'val'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
-               SUM({SQL_TOKENS}) AS n_tokens
+               CAST(SUM({SQL_TOKENS}) AS BIGINT) AS n_tokens
         FROM documents
         GROUP BY 1, 2
         ORDER BY lang, split

@@ -1,0 +1,210 @@
+"""Second text-pipeline wave (SURVEY.md §2.8 extensions): repetition
+ratio (the Gopher duplicate-n-gram quality signal), passage-level
+exact dedup (C4-style sub-document dedup), and benchmark
+decontamination (n-gram overlap against a held-out eval set) — the
+three corpus-hygiene operators a production LLM data pipeline runs
+besides whole-document dedup.
+
+All expressions are built-in Catalyst functions with exact DuckDB
+equivalents; float averages go through the round-then-DECIMAL sum
+convention (plans/registry.py) so hashes are order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, shingles_from_tokens, tokens
+from ..sources.tables import load_table
+from .registry import query
+
+# DuckDB token/shingle fragments (match functions/text.py semantics;
+# validated byte-for-byte by the dedup-family oracles)
+_SQL_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+PASSAGE_TOKENS = 20
+EVAL_SET_MAX_ID = 10  # doc_id < 10 plays the held-out benchmark
+CONTAM_NGRAM = 8
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=f"""
+        WITH sh AS (
+            SELECT lang,
+                   list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                       AS shingles
+            FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+        ), per_doc AS (
+            SELECT lang,
+                   1.0 - len(list_distinct(shingles))::DOUBLE / len(shingles)
+                       AS rep
+            FROM sh
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(round(rep, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_repetition,
+               MAX(round(rep, 6)) AS max_repetition
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Gopher-style repetition signal: per-doc duplicate "
+    "3-gram fraction (1 - distinct/total shingles), aggregated per "
+    "language with the order-insensitive decimal-average convention.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang", tokens(normalize_text(F.col("text"))).alias("toks")
+    ).select("lang", shingles_from_tokens(F.col("toks"), 3).alias("shingles"))
+    rep = (
+        F.lit(1.0)
+        - F.size(F.array_distinct("shingles")).cast("double") / F.size("shingles")
+    )
+    return (
+        sh.select("lang", F.round(rep, 6).alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("rep").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_repetition"),
+            F.max("rep").alias("max_repetition"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dedup_passage_level",
+    oracle=f"""
+        WITH p AS (
+            SELECT lang,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS INT)),
+                       i -> md5(array_to_string(
+                               list_slice(toks, i * {PASSAGE_TOKENS} + 1,
+                                          (i + 1) * {PASSAGE_TOKENS}), ' '))
+                   )) AS fp
+            FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+        )
+        SELECT lang,
+               COUNT(*) AS n_passages,
+               COUNT(DISTINCT fp) AS n_distinct,
+               COUNT(*) - COUNT(DISTINCT fp) AS n_duplicate
+        FROM p
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="C4-style passage-level exact dedup: documents chunked "
+    "into fixed 20-token passages, md5 passage fingerprints, per-lang "
+    "duplicate-passage counts — sub-document dedup that whole-doc "
+    "fingerprints miss.",
+)
+def dedup_passage_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("lang", tokens(normalize_text(F.col("text"))).alias("toks"))
+    n_pass = F.ceil(F.size("toks") / float(PASSAGE_TOKENS)).cast("int")
+    passages = toked.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            " ", F.slice(F.col("toks"), i * PASSAGE_TOKENS + 1, PASSAGE_TOKENS)
+                        ),
+                        "UTF-8",
+                    )
+                ),
+            )
+        ).alias("fp"),
+    )
+    return (
+        passages.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.countDistinct("fp").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_duplicate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_contamination_check",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, lang,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {CONTAM_NGRAM - 1}, 1) + 1),
+                       i -> array_to_string(
+                              list_slice(toks, i, i + {CONTAM_NGRAM - 1}), ' '))
+                   )) AS gram
+            FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+        ), eval_grams AS (
+            SELECT DISTINCT gram FROM g WHERE doc_id < {EVAL_SET_MAX_ID}
+        ), contaminated AS (
+            SELECT DISTINCT g.doc_id, g.lang
+            FROM g JOIN eval_grams USING (gram)
+            WHERE g.doc_id >= {EVAL_SET_MAX_ID}
+        )
+        SELECT d.lang,
+               COUNT(*) AS n_docs_checked,
+               COALESCE(c.n_contaminated, 0) AS n_contaminated
+        FROM documents d
+        LEFT JOIN (
+            SELECT lang, COUNT(*) AS n_contaminated
+            FROM contaminated GROUP BY lang
+        ) c ON d.lang = c.lang
+        WHERE d.doc_id >= {EVAL_SET_MAX_ID}
+        GROUP BY d.lang, c.n_contaminated
+        ORDER BY d.lang
+    """,
+    description="Benchmark decontamination: flag training docs sharing "
+    "any 8-token n-gram with a held-out eval set (doc_id < 10). Eval "
+    "grams are tiny -> broadcast semi-join against exploded corpus "
+    "grams; per-lang contaminated-doc counts.",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "lang", tokens(normalize_text(F.col("text"))).alias("toks")
+    )
+    grams = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("toks"), CONTAM_NGRAM))
+        ).alias("gram"),
+    )
+    eval_grams = F.broadcast(
+        grams.filter(F.col("doc_id") < EVAL_SET_MAX_ID).select("gram").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+        .join(eval_grams, "gram", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    checked = docs.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+    per_lang_contam = contaminated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        checked.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_checked"))
+        .join(per_lang_contam, "lang", "left")
+        .select(
+            "lang",
+            "n_docs_checked",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )

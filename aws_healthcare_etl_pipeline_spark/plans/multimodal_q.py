@@ -22,7 +22,7 @@ from .registry import query
     oracle="""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(octet_length(encode(text))) AS total_bytes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                MIN(md5(text)) AS min_checksum,
                MAX(md5(text)) AS max_checksum
         FROM documents
@@ -47,10 +47,37 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fake decode kernel derives its 8x8 "image" from md5(payload)
+# repeated 4x (operators/multimodal.py::decode_image_stub), so every
+# downstream feature is an arithmetic function of the 16 digest bytes —
+# which SQL engines can recompute from md5 hex. Shared fragment:
+# byte i of the digest parsed from hex chars 2i+1, 2i+2.
+SQL_DIGEST_BYTES = """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               list_transform(range(0, 16), i ->
+                 16 * (strpos('0123456789abcdef', substr(md5(text), 2*i + 1, 1)) - 1)
+                    + (strpos('0123456789abcdef', substr(md5(text), 2*i + 2, 1)) - 1)
+               ) AS bytes
+        FROM documents
+"""
+
+
 @query(
     "multimodal_feature_extract",
+    oracle=f"""
+        WITH d AS ({SQL_DIGEST_BYTES})
+        SELECT doc_id,
+               n_bytes,
+               round(list_sum(bytes) / 16.0, 6) AS mean_intensity,
+               CAST(16 AS INT) AS feature_dim
+        FROM d
+        ORDER BY doc_id
+    """,
     description="mapInPandas feature extraction over binary payloads "
-    "(deterministic fake decode kernel; real codec is a drop-in).",
+    "(deterministic fake decode kernel; real codec is a drop-in). The "
+    "fake image is md5(payload) bytes x4, so mean intensity reduces to "
+    "mean of the 16 digest bytes — recomputed from md5 hex in SQL.",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -66,8 +93,20 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_resize_stats",
+    oracle=f"""
+        WITH d AS ({SQL_DIGEST_BYTES})
+        SELECT doc_id,
+               CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+               CAST(16 AS INT) AS n_pixels,
+               CAST(4 * (bytes[1] + bytes[3] + bytes[5] + bytes[7])
+                    AS BIGINT) AS pixel_sum
+        FROM d
+        ORDER BY doc_id
+    """,
     description="Resize-kernel plumbing over binary payloads (nearest-"
-    "neighbor on the deterministic fake decode).",
+    "neighbor on the deterministic fake decode). 4x4 nearest-neighbor "
+    "over the md5-derived 8x8 samples digest bytes 0/2/4/6 on every "
+    "row, so the SQL oracle recomputes the exact pixel sum from hex.",
 )
 def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import resize_images
@@ -76,14 +115,28 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = attach_binary_payload(docs, "text")
     resized = resize_images(with_payload, size=(4, 4))
     return resized.select(
-        "doc_id", "width", "height", F.size("pixels").alias("n_pixels")
+        "doc_id",
+        "width",
+        "height",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate(F.col("pixels"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .alias("pixel_sum"),
     ).orderBy("doc_id")
 
 
 @query(
     "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(fi AS INT) AS frame_idx,
+               md5(CAST(fi AS VARCHAR) || ':' || md5(text)) AS frame_checksum
+        FROM documents, (VALUES (0), (4), (8), (12)) f(fi)
+        ORDER BY doc_id, frame_idx
+    """,
     description="Video frame-sampling plumbing: 1:N explode of sampled "
-    "frames with per-frame checksums (fake 16-frame stream).",
+    "frames with per-frame checksums (fake 16-frame stream repeats the "
+    "payload digest, and checksums cover index ':' hex(frame) — so SQL "
+    "recomputes them as md5(idx ':' md5(payload)).",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_frames

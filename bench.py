@@ -49,6 +49,10 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "q6_forecast_revenue",
     "pipeline_training_data_prep",
+    "q7_nation_trade_pairs",
+    "grouping_sets_explicit",
+    "sim_ivf_ann_topk",
+    "dedup_ngram_jaccard_pairs",
 ]
 
 

@@ -35,6 +35,22 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -
         return [f"{name}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"]
     if len(a) != len(b):
         return [f"{name}: row count spark={len(a)} duck={len(b)}"]
+    # dtype-KIND parity (r2): a DuckDB HUGEINT/TINYINT fetches as
+    # float64/int8 where Spark produced int64/float64 — numerically
+    # equal but rendered differently by repr-based hashers, which is
+    # exactly how the round-1 driver flagged sign()/SUM() oracles.
+    # Catch the divergence here, before the driver does.
+    for c in a.columns:
+        ka = {"u": "i"}.get(a[c].dtype.kind, a[c].dtype.kind)
+        kb = {"u": "i"}.get(b[c].dtype.kind, b[c].dtype.kind)
+        if ka != kb:
+            problems.append(
+                f"{name}: col {c} dtype-kind mismatch "
+                f"spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype} "
+                "(cast the oracle column; see plans/registry.py conventions)"
+            )
+    if problems:
+        return problems
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):

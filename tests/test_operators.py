@@ -171,6 +171,51 @@ def test_minhash_seed_family(spark):
     assert agree >= 20, f"signature agreement {agree}/64 far below J=0.6"
 
 
+def test_bucket_pairs_split_completeness_and_observed_drops(spark):
+    """Oversized-bucket handling contract:
+
+    - buckets larger than SPLIT_THRESHOLD are split into salted
+      sub-buckets but lose NO pairs (cross-group pairs are generated
+      from sub-bucket cross products);
+    - buckets larger than MAX_BUCKET_SIZE are dropped, and the drop is
+      OBSERVABLE (never silent) via the Observation metrics.
+    """
+    from pyspark.sql import Observation
+
+    from aws_healthcare_etl_pipeline_spark.operators.dedup import (
+        SPLIT_THRESHOLD,
+        _bucket_pairs,
+    )
+
+    n = SPLIT_THRESHOLD + 57  # one bucket just over the split threshold
+    rows = [(i, 1) for i in range(n)] + [(100_000 + i, 2) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket int")
+    obs = Observation("bp")
+    pairs = _bucket_pairs(df, ["bucket"], observation=obs).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert len(got) == n * (n - 1) // 2 + 3, "split path lost or duplicated pairs"
+    assert all(a < b for a, b in got)
+    assert obs.get["dropped_buckets"] == 0
+
+    # a flood bucket beyond MAX_BUCKET_SIZE must be dropped AND counted
+    import aws_healthcare_etl_pipeline_spark.operators.dedup as dd
+
+    old_max, old_split = dd.MAX_BUCKET_SIZE, dd.SPLIT_THRESHOLD
+    try:
+        dd.MAX_BUCKET_SIZE, dd.SPLIT_THRESHOLD = 10, 5
+        flood = spark.createDataFrame(
+            [(i, 1) for i in range(50)] + [(1000, 2), (1001, 2)],
+            "doc_id long, bucket int",
+        )
+        obs2 = Observation("bp2")
+        pairs2 = _bucket_pairs(flood, ["bucket"], observation=obs2).collect()
+        assert {(r.id_a, r.id_b) for r in pairs2} == {(1000, 1001)}
+        assert obs2.get["dropped_buckets"] == 1
+        assert obs2.get["dropped_docs"] == 50
+    finally:
+        dd.MAX_BUCKET_SIZE, dd.SPLIT_THRESHOLD = old_max, old_split
+
+
 def test_jaccard_empty_set_contract(spark):
     """Pinned edge: two EMPTY shingle sets are identical -> 1.0 (not
     null); one-empty pairs -> 0.0."""
