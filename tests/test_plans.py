@@ -44,6 +44,24 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_q8_market_share_broadcasts_all_dims(spark, sf_dir):
+    """Q8's 6-table star: every dimension (orders filter is the big
+    probe side's partner; customer/nation x2/region/supplier are dims)
+    must broadcast — no SortMergeJoin at any scale where dims fit the
+    64 MB threshold."""
+    plan = physical_plan(REGISTRY["q8_market_share"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_q17_decorrelated_avg_broadcasts(spark, sf_dir):
+    """Q17's correlated AVG subquery must plan as aggregate + broadcast
+    join-back (decorrelated), never a per-row subquery re-execution."""
+    plan = physical_plan(REGISTRY["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_partition_pruning_on_ingested_data(spark, tmp_path):
     """Hive-partitioned curated data: a filter on ingest_date must prune
     partitions at planning time (SURVEY.md §2.2 P3)."""
