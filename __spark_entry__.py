@@ -134,6 +134,8 @@ _VERIFICATION_PRIORITY = [
     "streaming_dedup_replay",
     "scd2_customer_balance_history",
     "skew_salted_event_totals",
+    "format_roundtrip_matrix",
+    "streaming_stateful_user_totals",
 ]
 
 

@@ -209,3 +209,59 @@ def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_value"),
         "max_value",
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_stateful_user_totals",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events_total,
+               CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="Custom stateful streaming operator "
+    "(applyInPandasWithState): per-user lifetime counters maintained in "
+    "the checkpointed state store across micro-batches. Values are "
+    "accumulated as exact integer cents inside the Python state (float "
+    "sums would be order-sensitive) and rescaled on output, so the "
+    "result hash-matches the batch GROUP BY oracle.",
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = convert_events_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # exact cents: value has two decimals by fixture contract, so
+    # round(value*100) is an integer — deterministic accumulation
+    cents = stream.select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("value")
+    )
+    totals = running_user_totals(cents)
+    sink_name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # counters only grow: MAX per user = the final update even if the
+    # source split into multiple micro-batches
+    return (
+        spark.table(sink_name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events_total").alias("n_events_total"),
+            (F.max("sum_value_total") / 100.0).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
