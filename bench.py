@@ -53,6 +53,9 @@ HEADLINE = [
     "grouping_sets_explicit",
     "sim_ivf_ann_topk",
     "dedup_ngram_jaccard_pairs",
+    "text_contamination_check",
+    "dedup_passage_level",
+    "scd2_customer_balance_history",
 ]
 
 
