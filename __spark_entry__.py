@@ -138,6 +138,9 @@ _VERIFICATION_PRIORITY = [
     "streaming_dedup_replay",
     "skew_salted_event_totals",
     "format_roundtrip_matrix",
+    "q18_large_volume_customers",
+    "streaming_stream_stream_join",
+    "pipeline_ffd_packing",
 ]
 
 

@@ -289,6 +289,72 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_ffd_packing",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(ceil(SUM(n_tokens) / {CONTEXT_TOKENS}.0) AS BIGINT)
+                   AS min_bins_lb,
+               TRUE AS bins_within_capacity,
+               TRUE AS at_most_one_half_empty,
+               TRUE AS n_bins_within_bounds
+        FROM (SELECT lang, len({_SQL_TOKS}) AS n_tokens FROM documents)
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="First-fit-decreasing packing (operators/packing.py::"
+    "ffd_pack, the applyInPandas grouped-map operator): unlike "
+    "concat-and-chunk it never splits a document across context "
+    "windows. Bin counts are algorithm-dependent, so the oracle pins "
+    "the EXACT doc/token totals and lower bound plus self-graded "
+    "booleans for FFD's provable invariants: every bin fill <= "
+    "capacity, at most one bin per group under half fill (any "
+    "first-fit violating this would never have opened the second "
+    "bin), and lb <= n_bins <= 2*lb + 1 (which that half-fill "
+    "property implies).",
+)
+def pipeline_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import ffd_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        "doc_id",
+        F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    packed = ffd_pack(
+        sized, group_col="lang", id_col="doc_id", size_col="n_tokens",
+        capacity=CONTEXT_TOKENS,
+    )
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    per_lang = bins.groupBy("lang").agg(
+        F.sum("n_items").alias("n_docs"),
+        F.sum("fill").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("fill").alias("max_fill"),
+        F.sum((F.col("fill") < CONTEXT_TOKENS / 2).cast("long")).alias(
+            "n_half_empty"
+        ),
+    )
+    lb = F.ceil(F.col("total_tokens") / float(CONTEXT_TOKENS)).cast("long")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        lb.alias("min_bins_lb"),
+        (F.col("max_fill") <= CONTEXT_TOKENS).alias("bins_within_capacity"),
+        (F.col("n_half_empty") <= 1).alias("at_most_one_half_empty"),
+        ((F.col("n_bins") >= lb) & (F.col("n_bins") <= 2 * lb + 1)).alias(
+            "n_bins_within_bounds"
+        ),
+    ).orderBy("lang")
+
+
+@query(
     "sampling_stratified_fixed_n",
     oracle=f"""
         WITH ranked AS (

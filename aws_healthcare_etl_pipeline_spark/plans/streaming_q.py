@@ -171,6 +171,82 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_stream_join",
+    oracle="""
+        SELECT c.user_id AS user_id,
+               COUNT(*) AS n_pairs,
+               COUNT(DISTINCT c.event_id) AS n_clicks_matched,
+               COUNT(DISTINCT p.event_id) AS n_purchases_matched
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 6 HOUR
+        GROUP BY 1
+        ORDER BY user_id
+    """,
+    description="True STREAM-STREAM inner join (the two-sided-state "
+    "Structured Streaming operator): a click stream joins a purchase "
+    "stream on user_id with a 6-hour event-time interval condition; "
+    "both sides carry watermarks so the join state is bounded — exactly "
+    "the plan shape a 100 TB two-topic correlation would run. The "
+    "joined pairs land in an append-mode sink; the per-user pair/"
+    "distinct counts are a batch rollup of the sink, and the oracle is "
+    "the equivalent batch interval self-join.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        stream = convert_events_ts(
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        return (
+            stream.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "12 hours")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    )
+    sink_name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink_name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_id").alias("n_clicks_matched"),
+            F.countDistinct("p_id").alias("n_purchases_matched"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "skew_salted_event_totals",
     oracle="""
         SELECT event_type,

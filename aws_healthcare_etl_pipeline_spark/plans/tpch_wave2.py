@@ -1,8 +1,9 @@
 """Second TPC-H wave (SURVEY.md §2 relational completion): Q8 market
 share, Q13 order-count distribution, Q15 top supplier (subquery-max),
-Q17 small-quantity revenue (correlated avg subquery) — adapted to the
+Q17 small-quantity revenue (correlated avg subquery), Q18 large-volume
+customers (IN-subquery over a grouped HAVING) — adapted to the
 fixture's slimmed schemas (no partsupp/phone/receiptdate columns, so
-Q2/Q9/Q11/Q16/Q20-Q22 have no faithful rendition; these four cover the
+Q2/Q9/Q11/Q16/Q20-Q22 have no faithful rendition; these five cover the
 remaining JOIN/subquery shapes).
 
 All money sums follow the exact DECIMAL(15,2) convention from
@@ -211,6 +212,52 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("avg_yearly")
         )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey,
+               o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+                   AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > 300
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    description="TPC-H Q18 (large-volume customers): IN-subquery over a "
+    "grouped HAVING on the fact table itself, planned as an aggregate + "
+    "left-semi join (the scalable decorrelation — no correlated "
+    "re-scan), then the 3-way star join and top-100. o_orderkey "
+    "tie-break keeps the LIMIT deterministic across engines.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey, "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
     )
 
 

@@ -238,3 +238,40 @@ def test_ngram_jaccard_exactness(spark, dup_docs):
     # doc4 = doc1 + "today": shingles |A|=7,|B|=8, intersect=7 -> J=7/8
     assert abs(j[(1, 4)] - 7 / 8) < 1e-12
     assert not any(3 in p for p in j)
+
+
+def test_ffd_pack_hand_case_and_invariants(spark):
+    from aws_healthcare_etl_pipeline_spark.operators.packing import ffd_pack
+
+    # capacity 10; sizes desc: 7(a) 6(b) 4(c) 3(d) 3(e) 12(z oversize)
+    # FFD: a->bin0(7); b->bin1(6); c->bin1(10); d->bin0(10); e->bin2(3)
+    # z is oversize -> dedicated bin placed first (largest item)
+    rows = [
+        ("g", 1, 7), ("g", 2, 6), ("g", 3, 4),
+        ("g", 4, 3), ("g", 5, 3), ("g", 6, 12),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    out = ffd_pack(df, "lang", "doc_id", "n_tokens", capacity=10)
+    got = {r.doc_id: r.bin_id for r in out.collect()}
+    # z (id 6, size 12) sorts first -> bin 0 (dedicated, marked full)
+    assert got == {6: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 3}
+
+    # invariants on a bigger deterministic group
+    rows2 = [("h", i, (i * 37) % 9 + 1) for i in range(200)]
+    out2 = ffd_pack(
+        spark.createDataFrame(rows2, "lang string, doc_id long, n_tokens long"),
+        "lang", "doc_id", "n_tokens", capacity=10,
+    )
+    import pyspark.sql.functions as F
+
+    bins = (
+        out2.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill")).collect()
+    )
+    assert all(b.fill <= 10 for b in bins)
+    assert sum(1 for b in bins if b.fill < 5) <= 1
+    # determinism: re-run yields the identical assignment
+    again = ffd_pack(
+        spark.createDataFrame(rows2, "lang string, doc_id long, n_tokens long"),
+        "lang", "doc_id", "n_tokens", capacity=10,
+    )
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, again.collect()))
