@@ -56,3 +56,39 @@ def write_sized_parquet(
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
     return n
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    target_mb: int = DEFAULT_TARGET_MB,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> int:
+    """Write parquet range-clustered on ``cluster_by``: rows are
+    range-partitioned across ~target_mb output files and sorted within
+    each, so every file (and row group) carries a TIGHT, mostly
+    disjoint min/max range for the cluster keys in its footer.
+
+    This is the layout lever for 100 TB scans: any min/max-pruning
+    reader — Spark's parquet row-group pruning, file-level skipping in
+    lakehouse formats — then skips all but the matching slice for a
+    selective predicate on the leading cluster key. Without it, every
+    file spans the whole key range and min/max pruning skips nothing
+    (tests/test_scd_filesize.py::test_clustered_write_prunes proves the
+    disjointness against an unclustered control write).
+
+    ``repartitionByRange`` samples key quantiles, so output files are
+    balanced even under key skew — the same reason it beats hash
+    partitioning for layout. One shuffle + local sort is the price,
+    paid once at write time and amortized over every later scan.
+    """
+    n = num_files if num_files is not None else target_file_count(df, target_mb)
+    (
+        df.repartitionByRange(n, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return n

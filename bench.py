@@ -56,6 +56,8 @@ HEADLINE = [
     "text_contamination_check",
     "dedup_passage_level",
     "scd2_customer_balance_history",
+    "q18_large_volume_customers",
+    "pipeline_ffd_packing",
 ]
 
 

@@ -136,3 +136,13 @@ def test_brute_force_similarity_is_shuffle_free_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "WindowGroupLimit" in plan
+
+
+def test_q18_semi_join_decorrelation(spark, sf_dir):
+    """Q18's IN-subquery must plan as aggregate + LEFT SEMI join on
+    the fact table (the scalable decorrelation) — never a correlated
+    re-scan or a cartesian."""
+    plan = physical_plan(REGISTRY["q18_large_volume_customers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -66,3 +66,56 @@ def test_write_sized_parquet(spark, sf_dir, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == li.count()
     # a tiny frame always maps to a single file
     assert target_file_count(li.limit(10), target_mb=128) == 1
+
+
+def test_clustered_write_prunes(spark, sf_dir, tmp_path):
+    """Range-clustered files must expose disjoint min/max key ranges
+    (the property min/max pruning relies on); an unclustered control
+    write of the same data must not."""
+    import pyarrow.parquet as pq
+    from aws_healthcare_etl_pipeline_spark.sources.filesize import (
+        write_clustered_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def key_ranges(path):
+        ranges = []
+        for f in sorted(glob.glob(str(path / "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("o_orderkey")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        return sorted(ranges)
+
+    def overlaps(ranges):
+        return sum(
+            1
+            for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:])
+            if hi1 >= lo2
+        )
+
+    n = write_clustered_parquet(
+        orders, str(tmp_path / "clustered"), ["o_orderkey"], num_files=6
+    )
+    clustered = key_ranges(tmp_path / "clustered")
+    assert len(clustered) == n >= 4
+    # range partitioning => file key ranges are pairwise disjoint
+    assert overlaps(clustered) == 0
+
+    # control: round-robin repartition to the same file count spreads
+    # the full key range into every file
+    orders.repartition(n).write.mode("overwrite").parquet(
+        str(tmp_path / "control")
+    )
+    control = key_ranges(tmp_path / "control")
+    assert overlaps(control) == len(control) - 1  # every file overlaps
+
+    # data integrity
+    assert (
+        spark.read.parquet(str(tmp_path / "clustered")).count() == orders.count()
+    )
