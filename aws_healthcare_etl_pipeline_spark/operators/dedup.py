@@ -206,15 +206,18 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_size: int = 3)
 
 
 def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
-    """Array of one hash per band (band b = rows [b*rows, (b+1)*rows))."""
+    """Array of one hash per band (band b = rows [b*rows, (b+1)*rows)).
+
+    xxhash64 is variadic over the raw int64 signature slots — no string
+    concat/cast per band (band hashes never cross engines, so they
+    don't need a portable text form; the LSH oracle is ground-truth
+    all-pairs Jaccard, independent of the banding hash family).
+    """
     return F.array(
         *[
             F.xxhash64(
                 F.lit(b),
-                F.concat_ws(
-                    ",",
-                    *[F.element_at(sig, b * rows + r + 1).cast("string") for r in range(rows)],
-                ),
+                *[F.element_at(sig, b * rows + r + 1) for r in range(rows)],
             )
             for b in range(bands)
         ]
