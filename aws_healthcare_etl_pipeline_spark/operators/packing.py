@@ -43,7 +43,8 @@ def ffd_pack(
     split upstream).
 
     Guarantees (pinned by tests and the query's self-graded oracle):
-      * every multi-item bin's fill is <= capacity;
+      * every bin's fill is <= capacity, except a bin holding a single
+        oversize item (whose fill is that item's size);
       * at most one bin per group is less than half full — true for
         any first-fit order: were there two, the later bin's items
         would all have fit in the earlier one, so first-fit would
@@ -68,9 +69,10 @@ def ffd_pack(
         fills: list[int] = []  # current fill per bin, creation order
         assign: dict[int, int] = {}
         for item_id, size in items:
-            if size > cap:  # oversize: dedicated bin, never shared
+            if size > cap:  # oversize: dedicated bin — its real fill
+                # already exceeds cap, so no later item can fit it
                 assign[item_id] = len(fills)
-                fills.append(cap)  # mark full so nothing joins it
+                fills.append(size)
                 continue
             for b, fill in enumerate(fills):
                 if fill + size <= cap:

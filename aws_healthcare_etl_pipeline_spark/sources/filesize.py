@@ -83,6 +83,8 @@ def write_clustered_parquet(
     balanced even under key skew — the same reason it beats hash
     partitioning for layout. One shuffle + local sort is the price,
     paid once at write time and amortized over every later scan.
+    ``num_files`` overrides the size-based file count (compaction jobs
+    that already know their target layout).
     """
     n = num_files if num_files is not None else target_file_count(df, target_mb)
     (

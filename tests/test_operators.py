@@ -248,13 +248,15 @@ def test_ffd_pack_hand_case_and_invariants(spark):
     # z is oversize -> dedicated bin placed first (largest item)
     rows = [
         ("g", 1, 7), ("g", 2, 6), ("g", 3, 4),
-        ("g", 4, 3), ("g", 5, 3), ("g", 6, 12),
+        ("g", 4, 3), ("g", 5, 3), ("g", 6, 12), ("g", 7, 0),
     ]
     df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
     out = ffd_pack(df, "lang", "doc_id", "n_tokens", capacity=10)
     got = {r.doc_id: r.bin_id for r in out.collect()}
-    # z (id 6, size 12) sorts first -> bin 0 (dedicated, marked full)
-    assert got == {6: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 3}
+    # z (id 6, size 12) sorts first -> bin 0 (dedicated: its real fill
+    # 12 > cap, so nothing else fits it — not even the zero-size item,
+    # which first-fits into bin 1 instead)
+    assert got == {6: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 3, 7: 1}
 
     # invariants on a bigger deterministic group
     rows2 = [("h", i, (i * 37) % 9 + 1) for i in range(200)]
