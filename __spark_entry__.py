@@ -141,6 +141,7 @@ _VERIFICATION_PRIORITY = [
     "q18_large_volume_customers",
     "streaming_stream_stream_join",
     "pipeline_ffd_packing",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -301,3 +301,71 @@ def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
         .orderBy("lang", "split")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS term
+            FROM documents
+        ), tf AS (
+            SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term
+        ), docfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT lang, term, tf, df,
+               CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score, rn
+        FROM (
+            SELECT lang, term, tf, df, n_docs,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(tf * n_docs AS DOUBLE)
+                                / CAST(df AS DOUBLE) DESC, term
+                   ) AS rn
+            FROM tf JOIN docfreq USING (term), n
+        ) t
+        WHERE rn <= 5
+        ORDER BY lang, rn
+    """,
+    description="TF-IDF distinctive terms per language: term frequency "
+    "within the language weighted by inverse document frequency across "
+    "the whole corpus, top-5 per language. idf is the RATIONAL "
+    "surrogate N/df — exact integer product then ONE double division, "
+    "so the score is bit-identical across engines (ln/log idf is a "
+    "one-line swap but transcendentals are excluded from oracle "
+    "arithmetic by convention). Shape at scale: one tokenize+explode "
+    "feeding two aggregations, a vocabulary-keyed shuffle join "
+    "(tf x df), and WindowGroupLimit for the per-group top-k.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text, tokens
+    from ..operators.topk import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(normalize_text(F.col("text")))).alias("term"),
+    )
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    return (
+        top_k_per_group(
+            scored, ["lang"], [F.col("score").desc(), F.col("term").asc()], k=5
+        )
+        .select("lang", "term", "tf", "df", "score", "rn")
+        .orderBy("lang", "rn")
+    )
