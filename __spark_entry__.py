@@ -142,6 +142,7 @@ _VERIFICATION_PRIORITY = [
     "streaming_stream_stream_join",
     "pipeline_ffd_packing",
     "text_tfidf_top_terms",
+    "json_variant_extract",
 ]
 
 

@@ -178,3 +178,44 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("asu"), F.col("exact_supps"), 0.15).alias("approx_supps_ok"),
         F.col("amed").between(F.col("p25"), F.col("p75")).alias("approx_median_ok"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS max_k,
+               COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                          THEN 1 END) AS n_missing
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Spark 4 VariantType path: parse_json once into an "
+    "open-schema VARIANT column, variant_get typed extraction — the "
+    "schema-on-read lane for semi-structured data that avoids both "
+    "per-access string re-parsing (get_json_object) and a frozen "
+    "from_json schema. Same aggregate as the typed-struct variant so "
+    "the three JSON lanes are cross-checked against one oracle shape.",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.withColumn("v", F.parse_json("props"))
+    k = F.variant_get("v", "$.k", "long")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
