@@ -143,6 +143,14 @@ _VERIFICATION_PRIORITY = [
     "pipeline_ffd_packing",
     "text_tfidf_top_terms",
     "json_variant_extract",
+    # wave 5 (pytest/sim-verified; rotate into the checked window next
+    # round with the rest of the r2 tail)
+    "events_cohort_retention",
+    "regr_price_trend_by_brand",
+    "outliers_mad_orders",
+    "profile_orders_audit",
+    "text_pmi_bigrams",
+    "quality_decile_buckets",
 ]
 
 

@@ -24,5 +24,6 @@ from . import llm_similarity  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import formats_q  # noqa: E402,F401
 from . import multimodal_q  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
