@@ -151,6 +151,9 @@ _VERIFICATION_PRIORITY = [
     "profile_orders_audit",
     "text_pmi_bigrams",
     "quality_decile_buckets",
+    "events_markov_transitions",
+    "events_rolling_wau",
+    "orders_incremental_rollup",
 ]
 
 
