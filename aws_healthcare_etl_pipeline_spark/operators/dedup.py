@@ -30,6 +30,7 @@ from ..functions.text import (
     tokens,
     word_shingles,
 )
+from .parallelism import widen
 
 
 # ---------------------------------------------------------------- exact
@@ -173,15 +174,32 @@ def _bucket_pairs(
 
 # ------------------------------------------------------------- MinHash
 
-def minhash_signature_from_shingles(shingles: Column, num_hashes: int = 64) -> Column:
-    """Array of ``num_hashes`` min-over-shingles hash values.
+def _seed_minima_expr(base_attr: str, num_hashes: int) -> Column:
+    """Seed-family minima over a MATERIALIZED int64 hash-array column.
 
-    Each shingle string is hashed ONCE (xxhash64 on the string); the
-    per-seed family re-hashes that 8-byte base value (xxhash64 with a
-    seed literal prepended) — fixed-width input, so the expensive
-    variable-length string hashing is not repeated per seed. Entirely
-    built-in Catalyst expressions inside one codegen'd projection;
-    no multiplication, so safe under ANSI mode.
+    ``base_attr`` must name a projected column holding the per-shingle
+    string hashes; referencing it 64 times here is safe —
+    CollapseProject refuses to inline a non-cheap multi-referenced
+    alias, so the string hashing is computed ONCE per row, not per
+    seed (the inline form re-evaluates its input array per outer
+    transform: 64x the string hashing). The whole 64-branch array is
+    also ONE ``F.expr`` parse — building it Column-by-Column cost
+    ~1.5s of py4j round trips per plan (SCALE.md: "plan construction
+    is py4j-bound").
+    """
+    parts = ",".join(
+        f"array_min(transform({base_attr}, b -> xxhash64({i}, b)))"
+        for i in range(num_hashes)
+    )
+    return F.expr(f"array({parts})")
+
+
+def minhash_signature_from_shingles(shingles: Column, num_hashes: int = 64) -> Column:
+    """Array of ``num_hashes`` min-over-shingles hash values, straight
+    from a shingle-array column. Convenience/test form: the inline
+    base array is re-evaluated per seed transform; the hot path
+    (``minhash_near_duplicates``) materializes the base hashes as a
+    column and uses ``_seed_minima_expr`` instead.
     """
     base = F.transform(shingles, lambda s: F.xxhash64(s))
 
@@ -205,23 +223,26 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_size: int = 3)
     return minhash_signature_from_shingles(sh, num_hashes)
 
 
-def _band_hashes(sig: Column, bands: int, rows: int) -> Column:
+def _band_hashes_expr(sig_attr: str, bands: int, rows: int) -> Column:
     """Array of one hash per band (band b = rows [b*rows, (b+1)*rows)).
 
     xxhash64 is variadic over the raw int64 signature slots — no string
     concat/cast per band (band hashes never cross engines, so they
     don't need a portable text form; the LSH oracle is ground-truth
     all-pairs Jaccard, independent of the banding hash family).
+    Single ``F.expr`` parse over a named signature column for the same
+    py4j plan-build reason as ``_seed_minima_expr``.
     """
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.element_at(sig, b * rows + r + 1) for r in range(rows)],
-            )
-            for b in range(bands)
-        ]
+    parts = ",".join(
+        "xxhash64({},{})".format(
+            b,
+            ",".join(
+                f"element_at({sig_attr}, {b * rows + r + 1})" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
     )
+    return F.expr(f"array({parts})")
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -261,9 +282,11 @@ def minhash_near_duplicates(
 
     # three explicit projections: tokenize -> shingle -> sign. Each
     # lambda then only indexes a materialized array attribute (see
-    # shingles_from_tokens performance contract).
+    # shingles_from_tokens performance contract). The signature stage is
+    # pure per-row CPU — widen() first so a coarse-split source (single
+    # row group -> one task) doesn't serialize it.
     sigs = (
-        df.select(
+        widen(df, id_col).select(
             F.col(id_col).alias("doc_id"),
             tokens(normalize_text(F.col(text_col))).alias("toks"),
         )
@@ -273,11 +296,16 @@ def minhash_near_duplicates(
                 shingles_from_tokens(F.col("toks"), shingle_size)
             ).alias("shingles"),
         )
-        .withColumn("sig", minhash_signature_from_shingles(F.col("shingles"), num_hashes))
+        .withColumn(
+            "__mh_base",
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)),
+        )
+        .withColumn("sig", _seed_minima_expr("__mh_base", num_hashes))
+        .select("doc_id", "shingles", "sig")
     )
     buckets = sigs.select(
         "doc_id",
-        F.posexplode(_band_hashes(F.col("sig"), bands, rows)).alias("band", "band_hash"),
+        F.posexplode(_band_hashes_expr("sig", bands, rows)).alias("band", "band_hash"),
     )
     # candidate pairs: docs sharing any (band, band_hash) bucket — via
     # one groupBy + in-bucket pair expansion (single shuffle of compact
@@ -390,7 +418,9 @@ def simhash_near_duplicates(
         sig_expr = simhash64(F.col(text_col))
         band_bits = 16
     mask = (1 << band_bits) - 1
-    sigs = df.select(F.col(id_col).alias("doc_id"), sig_expr.alias("simhash"))
+    sigs = widen(df, id_col).select(
+        F.col(id_col).alias("doc_id"), sig_expr.alias("simhash")
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -457,7 +487,7 @@ def ngram_jaccard_pairs(
     sf0.1 fixture this cuts the verify stage roughly in half (431k
     candidates -> ~6k string verifications).
     """
-    base = df.select(
+    base = widen(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in block_cols],
         tokens(normalize_text(F.col(text_col))).alias("toks"),
