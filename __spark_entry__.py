@@ -154,6 +154,10 @@ _VERIFICATION_PRIORITY = [
     "events_markov_transitions",
     "events_rolling_wau",
     "orders_incremental_rollup",
+    "fuzzy_name_matches",
+    "time_hierarchy_rollup",
+    "basket_part_pairs",
+    "price_histogram",
 ]
 
 

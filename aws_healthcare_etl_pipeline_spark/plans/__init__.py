@@ -26,5 +26,6 @@ from . import formats_q  # noqa: E402,F401
 from . import multimodal_q  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
+from . import analytics3  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

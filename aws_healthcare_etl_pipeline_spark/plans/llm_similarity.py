@@ -259,9 +259,16 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=8/2 iterations hits the same recall as k=16/3 on this corpus at
     # a third of the train+search cost (Lloyd converges fast on
     # near-orthogonal data); at real scale k grows with corpus size.
+    # Training stays on the NARROW frame: its seeded init samples rows
+    # in scan order, which a repartition would scramble. The per-row
+    # scoring passes (16 dot products x dim) get widened — embeddings
+    # is a single-row-group file, i.e. a one-task scan otherwise.
+    from ..operators.parallelism import widen
+
+    emb_wide = widen(emb, "vec_id")
     centroids = train_ivf_centroids(emb, k=8, iterations=2)
-    ivf = ivf_top_k(emb, queries_df, k=TOP_K, centroids=centroids, nprobe=2)
-    truth = brute_force_top_k(emb, queries_df, k=TOP_K)
+    ivf = ivf_top_k(emb_wide, queries_df, k=TOP_K, centroids=centroids, nprobe=2)
+    truth = brute_force_top_k(emb_wide, queries_df, k=TOP_K)
     hits = ivf.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"])
     per_query = (
         ivf.groupBy("query_id")
