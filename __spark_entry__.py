@@ -158,6 +158,9 @@ _VERIFICATION_PRIORITY = [
     "time_hierarchy_rollup",
     "basket_part_pairs",
     "price_histogram",
+    "graph_pagerank_nations",
+    "chisq_segment_priority",
+    "sampling_pps_orders",
 ]
 
 

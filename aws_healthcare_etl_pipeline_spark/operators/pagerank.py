@@ -1,0 +1,82 @@
+"""Weighted PageRank as an iterative DataFrame loop.
+
+The iterative-algorithm pattern for Spark (same discipline as
+operators/clusters.py): per iteration one edge-keyed join + one
+destination-keyed aggregation, ``localCheckpoint`` to keep lineage
+flat, and driver traffic limited to a 1-row aggregate (the dangling
+mass). Ranks flow as doubles — PageRank is a fixpoint iteration, so
+per-engine float-sum ordering perturbs ranks below convergence
+tolerance, which is why the harness query self-grades invariants
+(mass conservation, convergence) rather than hash-matching raw ranks;
+tests/test_pagerank.py checks values against a NumPy power iteration.
+
+At 100 TB scale: edges and ranks shuffle on node keys only; the
+rank frame is O(nodes), edge traffic is O(edges) per iteration —
+no driver materialization, no cross join, no adjacency collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` weighted power-iteration steps.
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    total rank mass stays 1 every iteration (checked by the harness
+    query's invariant).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+
+    for _ in range(iterations):
+        # mass leaving dangling nodes (nodes with no out-edges): a
+        # 1-row aggregate is the only driver transfer per iteration
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_w, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

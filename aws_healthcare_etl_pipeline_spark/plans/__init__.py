@@ -27,5 +27,6 @@ from . import multimodal_q  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import analytics3  # noqa: E402,F401
+from . import analytics4  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

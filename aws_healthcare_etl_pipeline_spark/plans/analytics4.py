@@ -1,0 +1,227 @@
+"""Wave-8 analytics: graph ranking, statistical testing, deterministic
+weighted sampling.
+
+  graph_pagerank_nations  weighted PageRank over the nation trade
+                          graph (iterative DataFrame loop); structure
+                          exact + invariants self-graded, values
+                          pytest-checked vs NumPy
+  chisq_segment_priority  chi-square independence test from exact
+                          contingency counts
+  sampling_pps_orders     probability-proportional-to-size Bernoulli
+                          sample, fully deterministic via md5-uniform
+
+Oracle conventions follow plans/registry.py; the md5-uniform trick
+(15 hex digits -> int64 -> [0,1)) is the same portable-hash device the
+hash-split and simhash oracles use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import dec, query
+
+PR_DAMPING = 0.85
+PR_ITERATIONS = 10
+
+
+@query(
+    "graph_pagerank_nations",
+    oracle=f"""
+        WITH edges AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE cn.n_nationkey <> sn.n_nationkey
+            GROUP BY 1, 2
+        ), nodes AS (
+            SELECT src AS node FROM edges
+            UNION SELECT dst FROM edges
+        )
+        SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+               (SELECT COUNT(*) FROM edges) AS n_edges,
+               CAST({PR_ITERATIONS} AS BIGINT) AS iterations,
+               TRUE AS mass_conserved,
+               TRUE AS ranks_positive
+    """,
+    description="Weighted PageRank (damping 0.85, 10 iterations) over "
+    "the nation trade graph: edge cust-nation -> supp-nation weighted "
+    "by lineitem count. Iterative DataFrame power iteration "
+    "(operators/pagerank.py) — one join + one aggregation per round, "
+    "localCheckpoint-flattened lineage, 1-row dangling-mass transfer. "
+    "Float fixpoints aren't bit-portable across engines, so the oracle "
+    "pins exact structure (node/edge counts) and the query SELF-GRADES "
+    "the invariants (total mass == 1 within 1e-9, all ranks positive); "
+    "rank values are pytest-checked against a NumPy power iteration.",
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src"))
+    )
+    sn = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst"))
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(sn, supp.s_nationkey == F.col("sn_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = pagerank(
+        edges, damping=PR_DAMPING, iterations=PR_ITERATIONS
+    )
+    n_edges = edges.count()
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(PR_ITERATIONS).cast("bigint").alias("iterations"),
+        (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("mass_conserved"),
+        (F.min("rank") > 0.0).alias("ranks_positive"),
+    )
+
+
+@query(
+    "chisq_segment_priority",
+    oracle="""
+        WITH cells AS (
+            SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+                   COUNT(*) AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT seg, pri, o,
+                   SUM(o) OVER (PARTITION BY seg) AS row_t,
+                   SUM(o) OVER (PARTITION BY pri) AS col_t,
+                   SUM(o) OVER () AS n
+            FROM cells
+        )
+        SELECT CAST(MIN(n) AS BIGINT) AS n_orders,
+               COUNT(*) AS n_cells,
+               CAST((COUNT(DISTINCT seg) - 1)
+                    * (COUNT(DISTINCT pri) - 1) AS BIGINT) AS dof,
+               CAST(SUM(CAST(round(
+                   (o - CAST(row_t * col_t AS DOUBLE) / n)
+                   * (o - CAST(row_t * col_t AS DOUBLE) / n)
+                   / (CAST(row_t * col_t AS DOUBLE) / n), 9)
+                   AS DECIMAL(30,9))) AS DOUBLE) AS chi2
+        FROM tot
+    """,
+    description="Chi-square independence test: market segment vs order "
+    "priority. Contingency counts, marginals, and N are exact "
+    "integers; each cell's (O-E)^2/E term is a fixed double-op "
+    "sequence on those integers, rounded to 9 decimals and summed as "
+    "DECIMAL so the cell-sum is order-insensitive (a raw double SUM "
+    "would vary with partial-aggregation order). pow(x,2) is exact "
+    "squaring — no transcendental enters the oracle arithmetic.",
+)
+def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = cells.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    expected = (F.col("row_t") * F.col("col_t")).cast("double") / F.col("n")
+    # explicit d*d, not pow(d, 2): Math.pow/libm pow are only 1-ulp
+    # bounded and may disagree across runtimes; multiplication is exact
+    d = F.col("o") - expected
+    term = d * d / expected
+    return tot.agg(
+        F.min("n").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.sum(F.round(term, 9).cast("decimal(30,9)")).cast("double").alias("chi2"),
+    )
+
+
+# PPS inclusion probability: price / PRICE_CAP (prices are < 600k in
+# the fixture, verified by profile_orders_audit's max). md5-uniform u
+# in [0,1) from the first 15 hex digits — engine-portable.
+PRICE_CAP = 600_000.0
+TWO_60 = float(1 << 60)
+
+
+@query(
+    "sampling_pps_orders",
+    oracle=f"""
+        WITH u AS (
+            SELECT o_orderstatus, o_totalprice,
+                   CAST(CAST(concat('0x',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS DOUBLE) / {TWO_60!r} AS unif
+            FROM orders
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN unif < o_totalprice / {PRICE_CAP!r}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN unif < o_totalprice / {PRICE_CAP!r}
+                             THEN CAST(o_totalprice AS DECIMAL(15,2))
+                             ELSE CAST(0 AS DECIMAL(15,2)) END)
+                    AS DOUBLE) AS sampled_revenue
+        FROM u
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    description="Probability-proportional-to-size Bernoulli sampling: "
+    "each order is kept iff md5-uniform(o_orderkey) < price/cap, so "
+    "expensive orders are sampled proportionally more — the standard "
+    "weighted-sampling primitive for building value-skewed training "
+    "subsets. Fully deterministic (the 'randomness' is a portable md5 "
+    "hash), embarrassingly parallel (pure projection + one aggregate), "
+    "and re-runnable to the identical sample on any engine or cluster "
+    "layout.",
+)
+def sampling_pps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    unif = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / TWO_60
+    )
+    keep = unif < F.col("o_totalprice") / PRICE_CAP
+    zero = F.lit(0).cast("decimal(15,2)")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+            F.sum(F.when(keep, dec("o_totalprice")).otherwise(zero))
+            .cast("double")
+            .alias("sampled_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
