@@ -49,14 +49,6 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(iterations):
-        # mass leaving dangling nodes (nodes with no out-edges): a
-        # 1-row aggregate is the only driver transfer per iteration
-        dangling = (
-            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .join(out_w, "src")
@@ -66,7 +58,15 @@ def pagerank(
             )
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
+            .localCheckpoint(eager=True)
         )
+        # dangling mass by CONSERVATION: every non-dangling node
+        # distributes its full rank, so sum(in_mass) is exactly the
+        # non-dangling mass and 1 - sum(in_mass) the dangling mass —
+        # a 1-row aggregate on the already-materialized contribs
+        # instead of a second full anti-join pass per iteration.
+        distributed = contribs.agg(F.sum("in_mass")).first()[0] or 0.0
+        dangling = max(0.0, 1.0 - distributed)
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")

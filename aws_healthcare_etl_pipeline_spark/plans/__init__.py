@@ -28,5 +28,7 @@ from . import analytics  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import analytics3  # noqa: E402,F401
 from . import analytics4  # noqa: E402,F401
+from . import analytics5  # noqa: E402,F401
+from . import analytics6  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -59,6 +59,10 @@ HEADLINE = [
     "scd2_customer_balance_history",
     "q18_large_volume_customers",
     "pipeline_ffd_packing",
+    "events_cohort_retention",
+    "text_pmi_bigrams",
+    "fuzzy_name_matches",
+    "graph_pagerank_nations",
 ]
 
 
