@@ -63,6 +63,10 @@ HEADLINE = [
     "text_pmi_bigrams",
     "fuzzy_name_matches",
     "graph_pagerank_nations",
+    "money_allocation_largest_remainder",
+    "pipeline_token_budget_selection",
+    "top_event_paths",
+    "anomaly_rolling_zscore",
 ]
 
 
