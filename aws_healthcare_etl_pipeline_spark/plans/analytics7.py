@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.frontier import pareto_frontier_2d
 from ..sources.tables import load_table
 from .registry import dec, query
 
@@ -315,27 +316,11 @@ def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairwise dominance join. Comparisons only, no double math.",
 )
 def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    smaller = Window.orderBy("p_size").rangeBetween(Window.unboundedPreceding, -1)
-    same = Window.partitionBy("p_size")
-    ranked = part.select(
-        "p_partkey",
-        "p_brand",
-        "p_size",
-        "p_retailprice",
-        F.min("p_retailprice").over(smaller).alias("best_smaller"),
-        F.min("p_retailprice").over(same).alias("best_same"),
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
     )
-    return (
-        ranked.filter(
-            (
-                F.col("best_smaller").isNull()
-                | (F.col("best_smaller") > F.col("p_retailprice"))
-            )
-            & (F.col("best_same") == F.col("p_retailprice"))
-        )
-        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
-        .orderBy("p_size", "p_partkey")
+    return pareto_frontier_2d(part, x="p_size", y="p_retailprice").orderBy(
+        "p_size", "p_partkey"
     )
 
 

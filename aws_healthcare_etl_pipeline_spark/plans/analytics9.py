@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.money import allocate_largest_remainder
 from ..sources.tables import load_table
 from .registry import charge, dec, query, SQL_CHARGE
 
@@ -251,44 +252,15 @@ def money_allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> Data
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
         ),
         lines.l_orderkey == F.col("o_orderkey"),
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        "w",
-        "total_cents",
-        "o_orderstatus",
-        F.sum("w").over(Window.partitionBy("l_orderkey")).alias("sum_w"),
-    )
-    prod = F.col("total_cents") * F.col("w")
-    based = keyed.select(
-        "l_orderkey",
-        "l_linenumber",
-        "total_cents",
-        "o_orderstatus",
-        F.expr("(total_cents * w) div sum_w").alias("base"),
-        (prod % F.col("sum_w")).alias("rem"),
-        F.row_number()
-        .over(
-            Window.partitionBy("l_orderkey").orderBy(
-                (prod % F.col("sum_w")).desc(), F.asc("l_linenumber")
-            )
-        )
-        .alias("rr"),
-    )
-    alloc = based.select(
-        "l_orderkey",
-        "total_cents",
-        "o_orderstatus",
-        (
-            F.col("base")
-            + F.when(
-                F.col("rr")
-                <= F.col("total_cents")
-                - F.sum("base").over(Window.partitionBy("l_orderkey")),
-                1,
-            ).otherwise(0)
-        ).alias("cents"),
-    )
+    ).select("l_orderkey", "l_linenumber", "w", "total_cents", "o_orderstatus")
+    alloc = allocate_largest_remainder(
+        keyed,
+        key="l_orderkey",
+        weight="w",
+        total="total_cents",
+        tiebreak="l_linenumber",
+        out="cents",
+    ).select("l_orderkey", "total_cents", "o_orderstatus", "cents")
     per_order = alloc.groupBy(
         F.col("o_orderstatus").alias("status"), "l_orderkey"
     ).agg(

@@ -146,3 +146,30 @@ def test_q18_semi_join_decorrelation(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_shape_broadcasts_dims_and_prunes_columns(spark, sf_dir):
+    plan = physical_plan(REGISTRY["q9_shaped_profit_by_nation_year"].fn(spark, sf_dir))
+    # part (filtered), supplier, nation broadcast; orders join may be
+    # broadcast or SMJ depending on stats — pin the dims only
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
+    # the name filter must reach the part scan
+    assert "widget" in plan or "Contains" in plan, plan
+
+
+def test_money_allocation_windows_share_one_exchange(spark, sf_dir):
+    plan = physical_plan(
+        REGISTRY["money_allocation_largest_remainder"].fn(spark, sf_dir)
+    )
+    # all three orderkey windows (sum_w, remainder rank, base sum) must
+    # run on ONE hashpartitioning(l_orderkey) exchange — re-shuffling
+    # between windows would triple the dominant cost at scale
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan
+
+
+def test_pareto_frontier_shares_one_sort(spark, sf_dir):
+    plan = physical_plan(REGISTRY["pareto_frontier_parts"].fn(spark, sf_dir))
+    # the strictly-smaller RANGE window and the per-size partition min
+    # both key on p_size; no join, no pairwise dominance blowup
+    assert "Join" not in plan, plan
