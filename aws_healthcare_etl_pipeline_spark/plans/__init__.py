@@ -36,5 +36,6 @@ from . import analytics9  # noqa: E402,F401
 from . import analytics10  # noqa: E402,F401
 from . import sqltext  # noqa: E402,F401
 from . import streaming_scd  # noqa: E402,F401
+from . import analytics11  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

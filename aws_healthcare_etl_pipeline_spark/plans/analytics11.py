@@ -1,0 +1,127 @@
+"""Wave-16: gaps-and-islands — consecutive-run detection over sparse
+integer domains, the remaining classic window pattern.
+
+  customer_purchase_streaks  longest consecutive-month order streak
+                             per customer, histogrammed
+  orderkey_gap_islands       contiguous-run census of the sparse
+                             orderkey space (sequence-integrity audit)
+
+Both use the rank-difference trick (value - row_number() is constant
+within a consecutive run), so island assembly is one sort window plus
+one aggregation — no self-joins, no recursion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "customer_purchase_streaks",
+    oracle="""
+        WITH months AS (
+            SELECT DISTINCT o_custkey AS c,
+                   12 * year(o_orderdate) + month(o_orderdate) AS m
+            FROM orders
+        ), grouped AS (
+            SELECT c, m,
+                   m - row_number() OVER (PARTITION BY c ORDER BY m)
+                       AS island
+            FROM months
+        ), streaks AS (
+            SELECT c, COUNT(*) AS len
+            FROM grouped GROUP BY c, island
+        ), longest AS (
+            SELECT c, MAX(len) AS best FROM streaks GROUP BY c
+        )
+        SELECT CAST(best AS INT) AS streak_months,
+               COUNT(*) AS n_customers
+        FROM longest GROUP BY best ORDER BY streak_months
+    """,
+    description="Purchase-streak analysis: per customer the longest "
+    "run of consecutive months with at least one order, via the "
+    "rank-difference islands trick (month_index - row_number is "
+    "constant exactly within a consecutive run), then the streak-"
+    "length histogram. One customer-keyed window over the distinct "
+    "(customer, month) frame — month grain caps the window input at "
+    "customers x months regardless of order volume — and two "
+    "rollups. The retention-adjacent pattern behind billing streaks, "
+    "login streaks, and SLA runs.",
+)
+def customer_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    months = orders.select(
+        F.col("o_custkey").alias("c"),
+        (12 * F.year("o_orderdate") + F.month("o_orderdate")).alias("m"),
+    ).distinct()
+    grouped = months.select(
+        "c",
+        "m",
+        (
+            F.col("m")
+            - F.row_number().over(Window.partitionBy("c").orderBy("m"))
+        ).alias("island"),
+    )
+    streaks = grouped.groupBy("c", "island").agg(F.count(F.lit(1)).alias("len"))
+    longest = streaks.groupBy("c").agg(F.max("len").alias("best"))
+    return (
+        longest.groupBy(F.col("best").cast("int").alias("streak_months"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("streak_months")
+    )
+
+
+@query(
+    "orderkey_gap_islands",
+    oracle="""
+        WITH keys AS (
+            SELECT DISTINCT o_orderkey AS k FROM orders
+        ), grouped AS (
+            SELECT k, k - row_number() OVER (ORDER BY k) AS island
+            FROM keys
+        ), islands AS (
+            SELECT island, COUNT(*) AS run_len,
+                   MIN(k) AS run_start, MAX(k) AS run_end
+            FROM grouped GROUP BY island
+        )
+        SELECT COUNT(*) AS n_islands,
+               CAST(MAX(run_len) AS BIGINT) AS longest_run,
+               CAST(SUM(run_len) AS BIGINT) AS present_keys,
+               CAST(MAX(run_end) - MIN(run_start) + 1 - SUM(run_len)
+                    AS BIGINT) AS missing_in_span
+        FROM islands
+    """,
+    description="Sequence-integrity audit of the sparse orderkey "
+    "domain: contiguous-run census (island count, longest run, "
+    "present keys, holes inside the observed span) via the same "
+    "rank-difference trick at global scope. The ordered window runs "
+    "on the distinct key column only — at 100 TB that's still one "
+    "8-byte column, range-partitioned sort, and the audit answers "
+    "'did ingestion drop a key range' without joining against a "
+    "generated spine of the full domain.",
+)
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    grouped = keys.select(
+        "k", (F.col("k") - F.row_number().over(Window.orderBy("k"))).alias("island")
+    )
+    islands = grouped.groupBy("island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("k").alias("run_start"),
+        F.max("k").alias("run_end"),
+    )
+    return islands.agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        F.sum("run_len").cast("bigint").alias("present_keys"),
+        (
+            F.max("run_end") - F.min("run_start") + 1 - F.sum("run_len")
+        )
+        .cast("bigint")
+        .alias("missing_in_span"),
+    )
