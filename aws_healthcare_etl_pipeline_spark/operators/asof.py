@@ -28,6 +28,7 @@ def asof_join(
     right_time: str,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_time <= left_time`` (direction="backward"; "forward" is the
@@ -35,6 +36,13 @@ def asof_join(
 
     Right rows with no match leave NULL payload columns (left join
     semantics). Equal timestamps match (inclusive bound).
+
+    ``tolerance`` (an SQL interval string, e.g. ``"2 hours"``) bounds
+    the match distance like ``pd.merge_asof(tolerance=...)``: a
+    nearest-earlier (or -later) row further than the bound is treated
+    as no match and the payload nulls out. Inclusive, and applied
+    after the nearest match is chosen — never "the nearest row inside
+    the window", which would differ from merge_asof.
 
     Tie contract: if several right rows share the SAME (key, time), the
     one carried forward is arbitrary (matching pandas merge_asof and
@@ -59,7 +67,14 @@ def asof_join(
         if c != on:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    cols = [on, t, _SIDE] + [c for c in left_cols if c != on] + [out_names[c] for c in right_payload]
+    rt = "__asof_rt"
+    l_tagged = l_tagged.withColumn(rt, F.lit(None).cast(right.schema[right_time].dataType))
+    r_tagged = r_tagged.withColumn(rt, F.col(t))
+    cols = (
+        [on, t, _SIDE, rt]
+        + [c for c in left_cols if c != on]
+        + [out_names[c] for c in right_payload]
+    )
     unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
     if direction == "backward":
@@ -82,12 +97,25 @@ def asof_join(
         t,
         _SIDE,
         *[c for c in left_cols if c != on],
+        fill(rt).alias(rt),
         *[fill(out_names[c]).alias(out_names[c]) for c in right_payload],
     )
+    result = filled.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        # inclusive distance bound on the CHOSEN match (merge_asof
+        # semantics); the interval subtraction stays JVM-side. Applied
+        # while the union-time copy is still in scope.
+        if direction == "backward":
+            in_bound = F.col(t) - F.col(rt) <= F.expr(f"INTERVAL {tolerance}")
+        else:
+            in_bound = F.col(rt) - F.col(t) <= F.expr(f"INTERVAL {tolerance}")
+        for c in right_payload:
+            result = result.withColumn(
+                out_names[c], F.when(in_bound, F.col(out_names[c]))
+            )
     # left rows keep their original ``left_time`` column; the union-key
-    # copy ``t`` and the side tag are internal and dropped here.
-    return (
-        filled.filter(F.col(_SIDE) == 1)
-        .drop(_SIDE, t)
-        .select(*left_cols, *[out_names[c] for c in right_payload])
+    # copy ``t``, the side tag and the matched-time carrier are
+    # internal and dropped here.
+    return result.drop(_SIDE, t, rt).select(
+        *left_cols, *[out_names[c] for c in right_payload]
     )

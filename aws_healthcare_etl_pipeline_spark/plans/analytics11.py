@@ -125,3 +125,76 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("missing_in_span"),
     )
+
+
+TOLERANCE = "2 hours"
+
+
+@query(
+    "asof_tolerance_attribution",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ), matched AS (
+            SELECT p.event_id, p.value,
+                   (SELECT MAX(c.ts) FROM c
+                    WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts,
+                   p.ts AS pts
+            FROM p
+        )
+        SELECT CASE WHEN click_ts IS NOT NULL
+                     AND pts - click_ts <= INTERVAL 2 HOUR
+                    THEN 'attributed' ELSE 'unattributed' END AS attribution,
+               COUNT(*) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE)
+                   AS purchase_value
+        FROM matched GROUP BY 1 ORDER BY 1
+    """,
+    description="Bounded-window attribution: purchases as-of joined to "
+    "the last preceding click with a 2-hour tolerance (operators/"
+    "asof.py, merge_asof-style inclusive bound applied AFTER nearest-"
+    "match selection) — matches beyond the window null out and the "
+    "purchase lands in the unattributed bucket. The oracle re-derives "
+    "the same via a correlated MAX subquery plus the interval test. "
+    "Same one-shuffle union+window plan as the unbounded as-of; the "
+    "tolerance is a map-side comparison, not a second join.",
+)
+def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_time"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_time",
+        tolerance=TOLERANCE,
+    )
+    return (
+        joined.select(
+            F.when(F.col("click_ts").isNotNull(), "attributed")
+            .otherwise("unattributed")
+            .alias("attribution"),
+            "value",
+        )
+        .groupBy("attribution")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("purchase_value"),
+        )
+        .orderBy("attribution")
+    )

@@ -70,6 +70,55 @@ def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
     assert got_v == exp_v
 
 
+@settings(max_examples=10, deadline=None)
+@given(left_rows=pairs, right_rows=pairs, tol_minutes=st.integers(0, 120))
+def test_asof_tolerance_matches_pandas(spark, left_rows, right_rows, tol_minutes):
+    left_pdf = pd.DataFrame(
+        {
+            "key": [k for k, _ in left_rows],
+            "t": [BASE + dt.timedelta(minutes=m) for _, m in left_rows],
+        }
+    ).sort_values("t", kind="mergesort", ignore_index=True)
+    right_pdf = pd.DataFrame(
+        {
+            "key": [k for k, _ in right_rows],
+            "rt": [BASE + dt.timedelta(minutes=m) for _, m in right_rows],
+            "v": [float(m) for _, m in right_rows],
+        }
+    ).sort_values("rt", kind="mergesort", ignore_index=True)
+    right_pdf = right_pdf.drop_duplicates(["key", "rt"], ignore_index=True)
+
+    expected = pd.merge_asof(
+        left_pdf,
+        right_pdf,
+        left_on="t",
+        right_on="rt",
+        by="key",
+        direction="backward",
+        allow_exact_matches=True,
+        tolerance=pd.Timedelta(minutes=tol_minutes),
+    )
+
+    left_df = spark.createDataFrame(left_pdf, "key int, t timestamp")
+    right_df = spark.createDataFrame(right_pdf, "key int, rt timestamp, v double")
+    got = (
+        asof_join(
+            left_df,
+            right_df,
+            on="key",
+            left_time="t",
+            right_time="rt",
+            tolerance=f"{tol_minutes} minutes",
+        )
+        .toPandas()
+        .sort_values(["key", "t"], kind="mergesort", ignore_index=True)
+    )
+    exp = expected.sort_values(["key", "t"], kind="mergesort", ignore_index=True)
+    got_v = [None if pd.isna(x) else x for x in got["v"]]
+    exp_v = [None if pd.isna(x) else x for x in exp["v"]]
+    assert got_v == exp_v
+
+
 def test_approx_aggregates_error_bounds(spark):
     sf = "/root/testdata/sf0.01"
     li = load_table(spark, sf, "lineitem")
