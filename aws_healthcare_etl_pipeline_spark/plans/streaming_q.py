@@ -14,7 +14,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import EVENTS_RAW_SCHEMA, convert_events_ts, load_table
+import os
+
+from ..sources.tables import convert_events_ts, events_read_schema, load_table
 from ..streaming.windows import tumbling_counts
 from .registry import query
 
@@ -39,7 +41,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file source wants a directory; glob-filter to just the events
     # table inside the sf dir
     stream = convert_events_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_read_schema(os.path.join(sf_dir, "events.parquet")))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
@@ -107,7 +109,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = convert_events_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_read_schema(os.path.join(sf_dir, "events.parquet")))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
@@ -145,7 +147,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def one_pass() -> DataFrame:
         return convert_events_ts(
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(events_read_schema(os.path.join(sf_dir, "events.parquet")))
             .format("parquet")
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
@@ -201,7 +203,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(event_type: str, prefix: str) -> DataFrame:
         stream = convert_events_ts(
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(events_read_schema(os.path.join(sf_dir, "events.parquet")))
             .format("parquet")
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
@@ -310,7 +312,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = convert_events_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_read_schema(os.path.join(sf_dir, "events.parquet")))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)

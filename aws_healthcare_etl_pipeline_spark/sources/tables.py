@@ -31,11 +31,56 @@ TABLE_NAMES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
-# The events fixture stores ts as parquet TIMESTAMP(NANOS), which Spark
-# has no native type for (SPARK-40819): read the raw int64 nanos via the
-# legacy conf and truncate to microseconds — exactly what DuckDB's
-# reader does, so oracle comparison stays bit-identical. (All fixture
-# ts values are whole microseconds; verified in tests.)
+# The events fixture has shipped ts in two parquet vintages:
+#  - TIMESTAMP(NANOS): Spark has no native type for it (SPARK-40819) —
+#    read the raw int64 nanos via the legacy conf and truncate to
+#    microseconds, exactly what DuckDB's reader does, so oracle
+#    comparison stays bit-identical. (All fixture ts values are whole
+#    microseconds; verified in tests.)
+#  - TIMESTAMP(MICROS): Spark's native TimestampType — read directly.
+# ``events_read_schema`` sniffs the parquet footer so either vintage
+# loads identically; one footer read per call, no data scan.
+
+
+def _events_ts_field(path: str):
+    """Arrow type of the ``ts`` column, from the parquet footer."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        cands = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not cands:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        f = cands[0]
+    return str(pq.read_schema(f).field("ts").type)
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    return _events_ts_field(path) in ("timestamp[ns]", "int64")
+
+
+def events_read_schema(path: str) -> T.StructType:
+    """Read-schema for the events table, matched to the file's ts unit
+    (LongType for TIMESTAMP(NANOS) via the legacy conf, TimestampType
+    for TIMESTAMP(MICROS))."""
+    ts_type = T.LongType() if events_ts_is_nanos(path) else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# legacy alias (nanos vintage) kept for callers that staged nanos files
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -49,15 +94,18 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def convert_events_ts(df: DataFrame) -> DataFrame:
-    """int64 epoch-nanos -> microsecond timestamp (integer div, no fp)."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """int64 epoch-nanos -> microsecond timestamp (integer div, no fp);
+    identity when ts already is a native timestamp (micros vintage)."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return convert_events_ts(spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path))
+        return convert_events_ts(spark.read.schema(events_read_schema(path)).parquet(path))
     return spark.read.parquet(path)
 
 
