@@ -67,6 +67,10 @@ HEADLINE = [
     "pipeline_token_budget_selection",
     "top_event_paths",
     "anomaly_rolling_zscore",
+    "q21_sole_late_supplier",
+    "q20_shaped_dominant_supplier",
+    "customer_purchase_streaks",
+    "streaming_scd2_upsert",
 ]
 
 
