@@ -292,3 +292,106 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.30
         ).alias("mean_recall_ge_030"),
     )
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} * COUNT(*) AS BIGINT) AS n_results,
+               TRUE AS mean_recall_ge_050
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    description="Product-quantization ANN (operators/pq.py): corpus "
+    "compressed to m=8 codebook codes (4 bytes/vector packed vs 256 "
+    "of float), ADC table-lookup scan for a 64-candidate shortlist, "
+    "exact cosine rerank of the shortlist only. Codebooks are "
+    "sample-trained driver-side (bounded transfer, the standard PQ "
+    "contract); train/encode float math is not bit-stable across "
+    "engines, so like sim_ivf_ann_topk the query SELF-GRADES against "
+    "in-plan brute-force truth and the oracle pins structure plus the "
+    "recall floor (measured 0.875 at this corpus/shortlist; floor "
+    "0.50). Detailed recall curve is pytest-covered "
+    "(tests/test_pq.py).",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+    from ..operators.parallelism import widen
+    from ..operators.pq import pq_encode, pq_top_k, train_pq_codebooks
+
+    SHORTLIST = 64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # cosine-PQ: encode unit-normalized vectors so quantization error
+    # is spent on direction, not magnitude
+    norm_emb = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / l2_norm(F.col("embedding"))).alias(
+            "embedding"
+        ),
+    )
+    queries_df = norm_emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = train_pq_codebooks(norm_emb)
+    encoded = pq_encode(widen(norm_emb, "vec_id"), books)
+    shortlist = pq_top_k(encoded, queries_df, books, k=SHORTLIST)
+
+    # exact rerank of the shortlist only: joins touch SHORTLIST x
+    # n_queries rows, never the full corpus
+    raw_q = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    rer = (
+        shortlist.join(emb.select("vec_id", F.col("embedding").alias("cv")), "vec_id")
+        .join(raw_q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    pq_top = (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+    emb_wide = widen(emb, "vec_id")
+    truth = brute_force_top_k(
+        emb_wide,
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        k=TOP_K,
+    )
+    hits = pq_top.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"])
+    per_query = (
+        pq_top.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ret"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_ret",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_ret").alias("n_results"),
+        (
+            (F.sum("n_hit").cast("double") / F.sum(F.lit(TOP_K))) >= 0.50
+        ).alias("mean_recall_ge_050"),
+    )

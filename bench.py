@@ -68,6 +68,9 @@ HEADLINE = [
     "top_event_paths",
     "anomaly_rolling_zscore",
     "q21_sole_late_supplier",
+    "sim_pq_adc_topk",
+    "text_pii_redaction",
+    "layout_zorder_box_query",
     "q20_shaped_dominant_supplier",
     "customer_purchase_streaks",
     "streaming_scd2_upsert",
