@@ -93,22 +93,21 @@ def pq_encode(
     materialized score columns per row, chained-CASE argmax per
     subspace (ties -> lowest code, deterministic)."""
     m, k, d_sub = books.shape
-    df = corpus.select(id_col, vec_col)
-    code_cols = []
-    for s in range(m):
-        scored = df.select(
-            "*",
-            *[
-                F.expr(_sub_dot_expr(vec_col, s, d_sub, books[s, j])).alias(f"__q{s}_{j}")
-                for j in range(k)
-            ],
-        )
-        df = scored.withColumn(f"__code{s}", _argmax_dot(k, prefix=f"__q{s}_")).select(
-            id_col, vec_col, *[f"__code{i}" for i in range(s + 1)]
-        )
-        code_cols.append(f"__code{s}")
-    return df.select(
-        id_col, F.array(*[F.col(c) for c in code_cols]).alias(codes_col)
+    # two flat projections: (1) materialize all m*k scores at once,
+    # (2) all m argmaxes + assemble the codes array. The first cut
+    # nested m projection layers (one per subspace), which multiplied
+    # analyzer/codegen work ~m-fold for the same runtime plan.
+    scored = corpus.select(
+        id_col,
+        *[
+            F.expr(_sub_dot_expr(vec_col, s, d_sub, books[s, j])).alias(f"__q{s}_{j}")
+            for s in range(m)
+            for j in range(k)
+        ],
+    )
+    return scored.select(
+        id_col,
+        F.array(*[_argmax_dot(k, prefix=f"__q{s}_") for s in range(m)]).alias(codes_col),
     )
 
 

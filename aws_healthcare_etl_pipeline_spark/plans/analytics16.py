@@ -1,0 +1,201 @@
+"""Wave-22: readability scoring, quantile normalization, and the
+percent_rank/cume_dist window battery.
+
+All three follow the repo's exactness discipline: no libm call ever
+touches data-derived values (the Flesch constants multiply exact
+counts; quantile normalization maps through ntile buckets and exact
+decimal means; percent_rank is the exact rational (rank-1)/(n-1)
+evaluated as the same double division in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import dec, query
+
+# portable regex subset (see analytics12 notes)
+RE_SENT = r"[.!?]+"
+RE_SYLL = r"[aeiouyAEIOUY]+"
+RE_WORD = r"[A-Za-z]+"
+
+
+@query(
+    "text_readability_scores",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang,
+                   len(regexp_extract_all(text, '{RE_WORD}')) AS words,
+                   greatest(len(regexp_extract_all(text, '{RE_SENT}')), 1)
+                       AS sents,
+                   len(regexp_extract_all(text, '{RE_SYLL}')) AS sylls
+            FROM documents
+        ), agg AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(words) AS BIGINT) AS total_words,
+                   CAST(SUM(sents) AS BIGINT) AS total_sentences,
+                   CAST(SUM(sylls) AS BIGINT) AS total_syllable_groups
+            FROM counts WHERE words > 0
+            GROUP BY lang
+        )
+        SELECT lang, n_docs, total_words, total_syllable_groups,
+               206.835
+               - 1.015 * (CAST(total_words AS DOUBLE)
+                          / CAST(total_sentences AS DOUBLE))
+               - 84.6 * (CAST(total_syllable_groups AS DOUBLE)
+                         / CAST(total_words AS DOUBLE))
+                   AS corpus_flesch
+        FROM agg
+        ORDER BY lang
+    """,
+    description="Flesch reading-ease scoring (the classic readability "
+    "screen for curation filters): words, sentence terminators, and "
+    "vowel-group syllable proxies counted with portable regexes; the "
+    "corpus-level Flesch formula is constants x ratios of exact "
+    "BIGINT sums — identical double trees, no libm on data, and no "
+    "order-dependent double summation (a per-doc flesch mean would "
+    "sum arbitrary doubles in partition order; ratios of exact sums "
+    "are the order-stable form).",
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "lang",
+        F.size(F.expr(f"regexp_extract_all(text, '{RE_WORD}', 0)")).alias("words"),
+        F.greatest(
+            F.size(F.expr(f"regexp_extract_all(text, '{RE_SENT}', 0)")), F.lit(1)
+        ).alias("sents"),
+        F.size(F.expr(f"regexp_extract_all(text, '{RE_SYLL}', 0)")).alias("sylls"),
+    ).filter(F.col("words") > 0)
+    agg = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_words"),
+        F.sum("sents").alias("total_sentences"),
+        F.sum("sylls").alias("total_syllable_groups"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_syllable_groups",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("total_words").cast("double")
+                / F.col("total_sentences").cast("double")
+            )
+            - F.lit(84.6)
+            * (
+                F.col("total_syllable_groups").cast("double")
+                / F.col("total_words").cast("double")
+            )
+        ).alias("corpus_flesch"),
+    ).orderBy("lang")
+
+
+@query(
+    "feature_quantile_normalization",
+    oracle="""
+        WITH bucketed AS (
+            SELECT o_custkey, o_totalprice,
+                   c_mktsegment,
+                   ntile(100) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice, o_orderkey) AS q
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT q,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+                   / COUNT(*) AS target
+        FROM bucketed
+        GROUP BY q
+        ORDER BY q
+    """,
+    description="Quantile normalization (the ML-preprocessing "
+    "standard for making distributions comparable across groups): "
+    "each order maps to its within-segment percentile bucket "
+    "(deterministic ntile with orderkey tiebreak); the emitted table "
+    "IS the normalization mapping — bucket -> cross-segment exact-"
+    "decimal mean (the value every group's bucket-q members adopt), "
+    "plus per-bucket membership counts proving all segments land in "
+    "every bucket. Applying the mapping is a 100-row broadcast join. "
+    "No order-dependent double summation anywhere: the only double "
+    "is the exact-decimal-sum / count convention.",
+)
+def feature_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    bucketed = joined.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.ntile(100)
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+        )
+        .alias("q"),
+    )
+    return (
+        bucketed.groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+            (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+                "target"
+            ),
+        )
+        .orderBy("q")
+    )
+
+
+@query(
+    "window_rank_battery",
+    oracle="""
+        WITH ranked AS (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   percent_rank() OVER w AS prnk,
+                   cume_dist() OVER w AS cdist,
+                   ntile(4) OVER w AS quartile
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand
+                         ORDER BY p_retailprice, p_partkey)
+        )
+        SELECT p_brand, p_partkey, rnk, drnk, prnk, cdist,
+               CAST(quartile AS INT) AS quartile
+        FROM ranked
+        WHERE p_partkey % 7 = 0
+        ORDER BY p_brand, p_partkey
+    """,
+    description="The remaining ranking-window battery: rank, "
+    "dense_rank, percent_rank ((rank-1)/(n-1), an exact rational in "
+    "identical double division), cume_dist, and ntile quartiles, all "
+    "over one shared WINDOW spec (single sort). Unique (price, "
+    "partkey) ordering makes every function deterministic; the "
+    "modulo-7 projection keeps output compact without changing the "
+    "windows.",
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .filter(F.col("p_partkey") % 7 == 0)
+        .select("p_brand", "p_partkey", "rnk", "drnk", "prnk", "cdist", "quartile")
+        .orderBy("p_brand", "p_partkey")
+    )
