@@ -199,3 +199,71 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_partkey", "rnk", "drnk", "prnk", "cdist", "quartile")
         .orderBy("p_brand", "p_partkey")
     )
+
+
+@query(
+    "scalar_try_functions_battery",
+    oracle="""
+        WITH raw AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                        ELSE CAST(o_orderkey AS VARCHAR) END AS int_str,
+                   CASE WHEN o_orderkey % 4 = 0 THEN 'not-a-date'
+                        ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_str,
+                   o_orderkey % 5 AS denom
+            FROM orders WHERE o_orderkey < 4000
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(TRY_CAST(int_str AS BIGINT)) AS BIGINT) AS ok_ints,
+               CAST(SUM(TRY_CAST(int_str AS BIGINT)) AS BIGINT) AS sum_ok_ints,
+               CAST(COUNT(TRY_CAST(date_str AS DATE)) AS BIGINT) AS ok_dates,
+               CAST(COUNT(CASE WHEN denom = 0 THEN NULL
+                                ELSE o_orderkey // denom END) AS BIGINT)
+                   AS ok_divs,
+               CAST(SUM(CASE WHEN denom = 0 THEN NULL
+                              ELSE o_orderkey // denom END) AS BIGINT)
+                   AS sum_ok_divs
+        FROM raw
+    """,
+    description="Graceful-degradation scalar surface: try_cast over "
+    "deliberately corrupted int/date strings and try_divide with "
+    "zero denominators — malformed inputs become NULLs that COUNT/SUM "
+    "skip, instead of failing the job (ANSI mode's footgun for "
+    "petabyte batch runs). The oracle mirrors try_divide's "
+    "null-on-zero with an explicit CASE over integral division; "
+    "corruption is keyed on o_orderkey so both engines corrupt "
+    "identical rows.",
+)
+def scalar_try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    raw = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("x"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("int_str"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("date_str"),
+        (F.col("o_orderkey") % 5).alias("denom"),
+    )
+    tried = raw.select(
+        F.expr("try_cast(int_str AS BIGINT)").alias("i"),
+        F.expr("try_cast(date_str AS DATE)").alias("d"),
+        F.expr("try_divide(o_orderkey, denom)").alias("q"),
+        # try_divide yields double; the oracle pins the integral form
+        F.when(
+            F.col("denom") == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr("o_orderkey div denom")).alias("qi"),
+    )
+    return tried.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("i").alias("ok_ints"),
+        F.sum("i").alias("sum_ok_ints"),
+        F.count("d").alias("ok_dates"),
+        F.count("qi").alias("ok_divs"),
+        F.sum("qi").alias("sum_ok_divs"),
+    )

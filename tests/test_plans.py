@@ -173,3 +173,60 @@ def test_pareto_frontier_shares_one_sort(spark, sf_dir):
     # the strictly-smaller RANGE window and the per-size partition min
     # both key on p_size; no join, no pairwise dominance blowup
     assert "Join" not in plan, plan
+
+
+def test_attribution_range_join_is_hash_not_nlj(spark, sf_dir):
+    """The click-window attribution join must plan as an equi hash join
+    on user_id with the interval predicate as a residual — a
+    BroadcastNestedLoopJoin here would be quadratic at scale."""
+    plan = physical_plan(REGISTRY["attribution_linear_multitouch"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+
+
+def test_q21_semi_anti_and_broadcast_supplier(spark, sf_dir):
+    plan = physical_plan(REGISTRY["q21_sole_late_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_triangle_count_uses_hash_joins(spark, sf_dir):
+    plan = physical_plan(REGISTRY["graph_triangle_count"].fn(spark, sf_dir))
+    # the only NLJ allowed is the final 1x1 scalar crossJoin
+    rest = plan.replace("BroadcastNestedLoopJoin BuildRight, Cross", "CROSS_OK", 1)
+    assert "NestedLoop" not in rest, plan
+
+
+def test_quantile_normalization_broadcasts(spark, sf_dir):
+    plan = physical_plan(REGISTRY["feature_quantile_normalization"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_scan_reads_codes_not_embeddings(spark, sf_dir):
+    """The ADC crossJoin side must carry codes (+ norm), never the
+    float embedding column — that's the whole point of PQ."""
+    from aws_healthcare_etl_pipeline_spark.functions.vectors import l2_norm
+    from aws_healthcare_etl_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_top_k,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / l2_norm(F.col("embedding"))).alias(
+            "embedding"
+        ),
+    )
+    books = train_pq_codebooks(norm)
+    enc = pq_encode(norm, books)
+    q = norm.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = pq_top_k(enc, q, books, k=5)
+    plan = physical_plan(top)
+    # after the codes projection, the scoring join's streamed side
+    # projects only (vec_id, codes, __c_norm)
+    assert "approx_cosine" in plan
+    join_part = plan[plan.index("BroadcastNestedLoopJoin") if "BroadcastNestedLoopJoin" in plan else 0 :]
+    assert "query_vec" not in join_part or "codes" in join_part, plan
