@@ -267,3 +267,76 @@ def scalar_try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("qi").alias("ok_divs"),
         F.sum("qi").alias("sum_ok_divs"),
     )
+
+
+@query(
+    "maintenance_gdpr_erasure",
+    oracle="""
+        WITH victims AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ), survivors AS (
+            SELECT o.* FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM victims)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS rows_before,
+               CAST(COUNT(*) AS BIGINT) AS rows_after,
+               CAST((SELECT COUNT(*) FROM orders) - COUNT(*) AS BIGINT)
+                   AS rows_erased,
+               CAST((SELECT COUNT(*) FROM victims) AS BIGINT)
+                   AS subjects_requested,
+               CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+                     WHERE o_custkey IN (SELECT c_custkey FROM victims))
+                    AS BIGINT) AS subjects_with_data,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+                   AS surviving_revenue
+        FROM survivors
+    """,
+    description="Right-to-erasure (GDPR Art. 17) batch rewrite: a "
+    "deletion list (every 97th customer, standing in for the request "
+    "queue) anti-joins the fact table; the rewritten copy lands in a "
+    "fresh directory (swap-on-success, same contract as compaction) "
+    "and the audit row proves rows_before = rows_after + rows_erased "
+    "plus how many requested subjects actually held data. The "
+    "anti-join broadcasts the deletion list — at 100 TB the erasure "
+    "cost is one scan + rewrite of affected partitions, and pairs "
+    "with layout clustering on the subject key to touch fewer files.",
+)
+def maintenance_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    victims = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+    )
+    base = tempfile.mkdtemp(prefix="gdpr_")
+    survivors = orders.join(
+        F.broadcast(victims), orders.o_custkey == victims.c_custkey, "left_anti"
+    )
+    survivors.write.mode("overwrite").parquet(f"{base}/orders")
+    rewritten = spark.read.parquet(f"{base}/orders")
+
+    before = orders.agg(F.count(F.lit(1)).alias("rows_before"))
+    requested = victims.agg(F.count(F.lit(1)).alias("subjects_requested"))
+    with_data = (
+        orders.join(F.broadcast(victims), orders.o_custkey == victims.c_custkey, "left_semi")
+        .agg(F.count_distinct("o_custkey").alias("subjects_with_data"))
+    )
+    after = rewritten.agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        F.sum(dec("o_totalprice")).cast("double").alias("surviving_revenue"),
+    )
+    return (
+        before.crossJoin(after)
+        .crossJoin(requested)
+        .crossJoin(with_data)
+        .select(
+            "rows_before",
+            "rows_after",
+            (F.col("rows_before") - F.col("rows_after")).alias("rows_erased"),
+            "subjects_requested",
+            "subjects_with_data",
+            "surviving_revenue",
+        )
+    )

@@ -343,3 +343,54 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="Stream-static enrichment: the events file stream "
+    "joins a STATIC broadcast customer dimension inside the "
+    "micro-batch plan (the standard fact-stream x dim-table shape; "
+    "no watermark needed on the static side, and the dim re-resolves "
+    "per micro-batch so slowly-refreshed dims pick up new snapshots). "
+    "Complete-mode agg to a memory sink under AvailableNow; oracle is "
+    "the batch join.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    stream = convert_events_ts(
+        spark.readStream.schema(events_read_schema(os.path.join(sf_dir, "events.parquet")))
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+    # ONE streaming aggregation: structured streaming supports neither
+    # chained aggs nor distinct aggs on a stream, so the surface here
+    # is count + exact-decimal sum per segment
+    final = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(15,2)")).cast("double").alias("sum_value"),
+    )
+    sink_name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        final.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        "c_mktsegment", "n_events", "sum_value"
+    ).orderBy("c_mktsegment")
