@@ -1,0 +1,144 @@
+"""Wave-23b: the canonical Gopher quality-filter battery (Rae et al.
+2021, "Scaling Language Models" appendix A1.1) — the rule set most
+production pretraining pipelines start from, complementing the
+generic ratio scores in llm_text.text_quality_scores.
+
+Every rule is evaluated with INTEGER cross-multiplication (3n <= sum
+<= 10n instead of 3 <= sum/n <= 10), so pass/fail booleans are exact
+in both engines — no ratio ever hits a float comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_SQL_STOP_HITS = " + ".join(
+    f"CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END"
+    for w in STOPWORDS
+)
+
+
+@query(
+    "text_gopher_filters",
+    oracle=f"""
+        WITH m AS (
+            SELECT lang,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS word_chars,
+                   length(text) - length(replace(text, '#', '')) AS hashes,
+                   len(regexp_extract_all(text, '\\.\\.\\.')) AS ellipses,
+                   len(string_split(text, chr(10))) AS lines,
+                   len(list_distinct(string_split(text, chr(10)))) AS uniq_lines,
+                   len(list_filter(string_split(text, chr(10)),
+                                   x -> regexp_matches(x, '^[-*]')))
+                       AS bullet_lines,
+                   {_SQL_STOP_HITS} AS stop_hits
+            FROM documents
+        ), graded AS (
+            SELECT lang,
+                   (words BETWEEN 50 AND 100000) AS ok_word_count,
+                   (3 * words <= word_chars AND word_chars <= 10 * words)
+                       AS ok_mean_word_len,
+                   (10 * (hashes + ellipses) <= words) AS ok_symbol_ratio,
+                   (10 * bullet_lines <= 9 * lines) AS ok_bullet_lines,
+                   (10 * (lines - uniq_lines) <= 3 * lines) AS ok_dup_lines,
+                   (stop_hits >= 2) AS ok_stopwords
+            FROM m
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN ok_word_count THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_word_count,
+               CAST(SUM(CASE WHEN ok_mean_word_len THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_mean_word_len,
+               CAST(SUM(CASE WHEN ok_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_symbol_ratio,
+               CAST(SUM(CASE WHEN ok_bullet_lines THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_bullet_lines,
+               CAST(SUM(CASE WHEN ok_dup_lines THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_dup_lines,
+               CAST(SUM(CASE WHEN ok_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_stopwords,
+               CAST(SUM(CASE WHEN ok_word_count AND ok_mean_word_len
+                              AND ok_symbol_ratio AND ok_bullet_lines
+                              AND ok_dup_lines AND ok_stopwords
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        FROM graded
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Gopher quality filters (word-count bounds, mean word "
+    "length 3-10, symbol-to-word ratio, bullet-line fraction, "
+    "duplicate-line fraction, >=2 distinct English stopwords): the "
+    "canonical pretraining-curation rule battery, all thresholds as "
+    "integer cross-multiplications so every pass/fail bit is exact "
+    "across engines. One projection per doc + a 5-key rollup; at "
+    "100 TB this is a map-only pass (the rollup is tiny).",
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    stop_hits = sum(
+        F.lower(F.col("text")).rlike(rf"\b{w}\b").cast("int") for w in STOPWORDS
+    )
+    m = docs.select(
+        "lang",
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).alias("words"),
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z]', 0)")).alias("word_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+        ).alias("hashes"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\.\\.\\.', 0)")).alias("ellipses"),
+        F.size(lines).alias("lines"),
+        F.size(F.array_distinct(lines)).alias("uniq_lines"),
+        F.size(F.filter(lines, lambda x: x.rlike("^[-*]"))).alias("bullet_lines"),
+        stop_hits.alias("stop_hits"),
+    )
+    graded = m.select(
+        "lang",
+        F.col("words").between(50, 100000).alias("ok_word_count"),
+        (
+            (F.lit(3) * F.col("words") <= F.col("word_chars"))
+            & (F.col("word_chars") <= F.lit(10) * F.col("words"))
+        ).alias("ok_mean_word_len"),
+        (F.lit(10) * (F.col("hashes") + F.col("ellipses")) <= F.col("words")).alias(
+            "ok_symbol_ratio"
+        ),
+        (F.lit(10) * F.col("bullet_lines") <= F.lit(9) * F.col("lines")).alias(
+            "ok_bullet_lines"
+        ),
+        (
+            F.lit(10) * (F.col("lines") - F.col("uniq_lines"))
+            <= F.lit(3) * F.col("lines")
+        ).alias("ok_dup_lines"),
+        (F.col("stop_hits") >= 2).alias("ok_stopwords"),
+    )
+    flags = [
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_bullet_lines",
+        "ok_dup_lines",
+        "ok_stopwords",
+    ]
+    cond = F.col(flags[0])
+    for fl in flags[1:]:
+        cond = cond & F.col(fl)
+    return (
+        graded.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum(F.col(fl).cast("long")).alias("pass_" + fl[3:])
+                for fl in flags
+            ],
+            F.sum(cond.cast("long")).alias("pass_all"),
+        )
+        .orderBy("lang")
+    )
