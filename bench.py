@@ -74,6 +74,14 @@ HEADLINE = [
     "q20_shaped_dominant_supplier",
     "customer_purchase_streaks",
     "streaming_scd2_upsert",
+    "attribution_linear_multitouch",
+    "graph_triangle_count",
+    "pipeline_document_chunking",
+    "sampling_weighted_reservoir",
+    "text_gopher_filters",
+    "events_time_weighted_value",
+    "concurrency_sweepline_daily",
+    "agg_bitmap_distinct",
 ]
 
 
