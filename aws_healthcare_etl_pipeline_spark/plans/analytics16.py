@@ -340,3 +340,60 @@ def maintenance_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surviving_revenue",
         )
     )
+
+
+@query(
+    "privacy_pseudonymize_stable_ids",
+    oracle="""
+        WITH pc AS (
+            SELECT c_custkey, c_mktsegment,
+                   substr(md5('v1:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                       AS pseud
+            FROM customer
+        ), po AS (
+            SELECT o_orderkey, o_totalprice,
+                   substr(md5('v1:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+                       AS pseud
+            FROM orders
+        )
+        SELECT pc.c_mktsegment,
+               CAST(COUNT(DISTINCT pc.pseud) AS BIGINT) AS n_pseudonyms,
+               CAST(COUNT(po.o_orderkey) AS BIGINT) AS n_orders_linked,
+               CAST(SUM(CAST(po.o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+                   AS linked_revenue
+        FROM pc LEFT JOIN po USING (pseud)
+        GROUP BY pc.c_mktsegment
+        ORDER BY pc.c_mktsegment
+    """,
+    description="Salted pseudonymization with referential integrity: "
+    "customer keys are replaced by a keyed fingerprint "
+    "(md5 of salt||key, truncated) APPLIED IDENTICALLY to the foreign "
+    "key in orders, so joins still link post-pseudonymization — the "
+    "privacy-engineering pattern for sharing linked analytical data "
+    "without raw identifiers. The join-through-pseudonym result must "
+    "equal the raw-key join (the oracle recomputes both sides from "
+    "scratch). Salt rotation ('v1:') re-keys the whole universe "
+    "consistently. Deterministic, engine-portable (md5), no UDF.",
+)
+def privacy_pseudonymize_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pseud(col):
+        return F.substring(
+            F.md5(F.concat(F.lit("v1:"), col.cast("string"))), 1, 16
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        pseud(F.col("c_custkey")).alias("pseud"), "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        pseud(F.col("o_custkey")).alias("pseud"), "o_orderkey", "o_totalprice"
+    )
+    return (
+        cust.join(orders, "pseud", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("pseud").alias("n_pseudonyms"),
+            F.count("o_orderkey").alias("n_orders_linked"),
+            F.sum(dec("o_totalprice")).cast("double").alias("linked_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

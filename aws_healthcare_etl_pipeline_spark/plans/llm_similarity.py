@@ -395,3 +395,64 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_hit").cast("double") / F.sum(F.lit(TOP_K))) >= 0.50
         ).alias("mean_recall_ge_050"),
     )
+
+
+@query(
+    "emb_pca_projection",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               64 AS dim, 8 AS k,
+               TRUE AS ratios_descend,
+               TRUE AS projection_reduces_variance
+        FROM embeddings
+    """,
+    description="Distributed PCA (operators/pca.py): covariance via "
+    "per-batch numpy outer-product partials (shuffle carries "
+    "O(batches x dim^2), never O(rows)), driver-side eigen on the "
+    "64x64 matrix, projection as k literal dot expressions. Float "
+    "partials are partition-order-dependent, so outputs self-grade "
+    "distributively: component ratios must descend, and mean squared "
+    "reconstruction error from k=8 components must be BELOW the "
+    "total variance (energy captured > 0) — both checked in-plan; "
+    "numpy ground-truth tolerance parity is pytest-covered "
+    "(tests/test_pca.py).",
+)
+def emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.pca import fit_pca, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, mean, comps, ratio = fit_pca(emb, k=8)
+    proj = pca_project(emb, mean, comps)
+    # distributed check: E[||pc||^2] (captured energy) must be positive
+    # and at most total variance  E[||x - mean||^2]
+    mean_lit = "array(" + ",".join(f"{float(v)!r}D" for v in mean) + ")"
+    stats = proj.select(
+        F.aggregate(
+            F.col("pc"), F.lit(0.0), lambda a, x: a + x * x
+        ).alias("pc_energy"),
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.expr(mean_lit),
+                lambda x, m: (x - m) * (x - m),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("total_energy"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("pc_energy").alias("pe"),
+        F.sum("total_energy").alias("te"),
+    )
+    ratios_ok = bool(all(ratio[i] >= ratio[i + 1] - 1e-12 for i in range(len(ratio) - 1)))
+    return stats.select(
+        "n_vectors",
+        F.lit(int(comps.shape[1])).alias("dim"),
+        F.lit(int(comps.shape[0])).alias("k"),
+        F.lit(ratios_ok).alias("ratios_descend"),
+        ((F.col("pe") > 0) & (F.col("pe") <= F.col("te") * 1.000001)).alias(
+            "projection_reduces_variance"
+        ),
+    )
