@@ -397,3 +397,58 @@ def privacy_pseudonymize_stable_ids(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle="""
+        WITH contrib AS (
+            SELECT DISTINCT
+                   CAST(ts AS DATE) + CAST(s.i AS INT) AS bucket_day,
+                   user_id
+            FROM events,
+                 LATERAL (SELECT UNNEST(generate_series(0, 6)) AS i) s
+        ), bounds AS (
+            SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+            FROM events
+        )
+        SELECT bucket_day::TIMESTAMP AS day,
+               CAST(COUNT(user_id) AS BIGINT) AS distinct_users_7d
+        FROM contrib, bounds
+        WHERE bucket_day BETWEEN lo AND hi
+        GROUP BY bucket_day
+        ORDER BY day
+    """,
+    description="Exact distinct users over a TRAILING 7-day window per "
+    "day — the sliding-distinct shape COUNT(DISTINCT) OVER RANGE "
+    "can't do directly in Spark. Each event fans out to the 7 "
+    "day-buckets it influences (explode of a 7-element sequence), "
+    "then one (day, user) dedup + count — a single shuffle keyed on "
+    "(day, user), no range join, no per-day rescan. The 7x row "
+    "amplification is the explicit, bounded cost; at 100 TB the "
+    "fan-out factor scales with window/granularity, not data. "
+    "Days clip to the observed range so edge windows are partial "
+    "(documented contract).",
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    contrib = events.select(
+        F.explode(
+            F.sequence(
+                F.col("ts").cast("date"),
+                F.date_add(F.col("ts").cast("date"), 6),
+            )
+        ).alias("bucket_day"),
+        "user_id",
+    ).distinct()
+    bounds = events.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("bucket_day").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("bucket_day").cast("timestamp").alias("day"))
+        .agg(F.count("user_id").alias("distinct_users_7d"))
+        .orderBy("day")
+    )
