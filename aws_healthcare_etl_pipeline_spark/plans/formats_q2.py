@@ -1,0 +1,112 @@
+"""Wave-25: remaining source-format surface — raw text-line files and
+XML extraction (Spark 4's from_xml), completing the format matrix
+(parquet/CSV/JSONL/ORC in formats_q, schema evolution in analytics16).
+
+Oracle strategy: the text round-trip is pinned by recomputing the
+same line statistics from the documents table directly; the XML lane
+CONSTRUCTS its XML deterministically from order columns in-plan, so
+the oracle derives identical values from the raw columns without
+needing an XML parser in DuckDB.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import dec, query
+
+
+@query(
+    "format_text_lines_roundtrip",
+    oracle="""
+        WITH lines AS (
+            SELECT CAST(doc_id AS VARCHAR) || chr(9) || lang AS line
+            FROM documents WHERE doc_id < 2000
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(length(line)) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT substr(line, strpos(line, chr(9)) + 1))
+                    AS BIGINT) AS n_langs
+        FROM lines
+    """,
+    description="Raw text-line source/sink (spark.read.text / "
+    "df.write.text): one tab-joined line per document, written as an "
+    "uncompressed text directory and re-read as the single `value` "
+    "column — the lowest-common-denominator interchange format every "
+    "log pipeline starts from. Line statistics recomputed from the "
+    "re-read side must equal the oracle's direct computation. Text "
+    "sources split by line offset, so at 100 TB the read "
+    "parallelizes like any other splittable format (unlike gzip'd "
+    "text — noted in the format matrix).",
+)
+def format_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    lines = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("\t"), F.col("lang")).alias(
+            "value"
+        )
+    )
+    base = tempfile.mkdtemp(prefix="textfmt_")
+    lines.write.mode("overwrite").text(f"{base}/lines")
+    back = spark.read.text(f"{base}/lines")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.count_distinct(
+            F.substring_index(F.col("value"), "\t", -1)
+        ).alias("n_langs"),
+    )
+
+
+@query(
+    "format_xml_extract",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderkey < 3000
+        GROUP BY o_orderstatus
+        ORDER BY status
+    """,
+    description="XML lane (Spark 4 from_xml): order rows are "
+    "serialized to <order><key/><status/><price/></order> documents "
+    "in-plan, then parsed back through a typed schema and "
+    "re-aggregated — the round-trip must reproduce the raw-column "
+    "aggregation exactly (the oracle computes it directly; DuckDB "
+    "needs no XML parser because the XML is deterministic by "
+    "construction). Covers the schema-on-read path for the one "
+    "ubiquitous enterprise format the matrix lacked; parsing is "
+    "JVM-side, no UDF.",
+)
+def format_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    xml = orders.select(
+        F.concat(
+            F.lit("<order><key>"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</key><status>"),
+            F.col("o_orderstatus"),
+            F.lit("</status><price>"),
+            F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+            F.lit("</price></order>"),
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "doc", "key LONG, status STRING, price DECIMAL(15,2)"
+        ).alias("o")
+    ).select("o.key", "o.status", "o.price")
+    return (
+        parsed.groupBy(F.col("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("status")
+    )
