@@ -452,3 +452,65 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("user_id").alias("distinct_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "interval_join_campaign_orders",
+    oracle="""
+        WITH campaigns AS (
+            SELECT o_orderkey AS campaign_id,
+                   datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                       AS start_day,
+                   datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) + 14
+                       AS end_day
+            FROM orders WHERE o_orderkey % 500 = 0
+        ), pts AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(15,2)) AS price,
+                   datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                       AS d
+            FROM orders
+        )
+        SELECT campaign_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders_in_window,
+               CAST(SUM(price) AS DOUBLE) AS window_revenue
+        FROM campaigns JOIN pts
+          ON pts.d >= campaigns.start_day AND pts.d < campaigns.end_day
+        GROUP BY campaign_id
+        ORDER BY campaign_id
+    """,
+    description="Pure interval-overlap join with NO equi key — the "
+    "shape Spark plans as a BroadcastNestedLoopJoin. "
+    "operators/intervals.py buckets both sides by a 16-day width: "
+    "points land in one bucket, each 14-day campaign window "
+    "replicates into <=2 buckets, and the overlap predicate becomes "
+    "a residual on a plain hash join — O(points + matches), not "
+    "O(points x intervals). tests/test_plans.py pins the NLJ-free "
+    "plan; the oracle is the straight theta join.",
+)
+def interval_join_campaign_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import bucketed_point_interval_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    ).cast("long")
+    campaigns = orders.filter(F.col("o_orderkey") % 500 == 0).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        epoch_day.alias("start_day"),
+        (epoch_day + 14).alias("end_day"),
+    )
+    pts = orders.select(
+        dec("o_totalprice").alias("price"), epoch_day.alias("d")
+    )
+    joined = bucketed_point_interval_join(
+        pts, "d", campaigns, "start_day", "end_day", bucket_width=16
+    )
+    return (
+        joined.groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_in_window"),
+            F.sum("price").cast("double").alias("window_revenue"),
+        )
+        .orderBy("campaign_id")
+    )

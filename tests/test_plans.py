@@ -230,3 +230,11 @@ def test_pq_scan_reads_codes_not_embeddings(spark, sf_dir):
     assert "approx_cosine" in plan
     join_part = plan[plan.index("BroadcastNestedLoopJoin") if "BroadcastNestedLoopJoin" in plan else 0 :]
     assert "query_vec" not in join_part or "codes" in join_part, plan
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    """The bucketed interval join's reason to exist: the same overlap
+    predicate WITHOUT bucketing plans as BroadcastNestedLoopJoin."""
+    plan = physical_plan(REGISTRY["interval_join_campaign_orders"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan
