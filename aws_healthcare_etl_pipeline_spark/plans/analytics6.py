@@ -184,7 +184,7 @@ TTEST_SEG_B = "MACHINERY"
             SELECT seg,
                    CAST(COUNT(*) AS DOUBLE) AS n,
                    CAST(SUM(x) AS DOUBLE) AS sx,
-                   CAST(SUM(x * x) AS DOUBLE) AS sxx
+                   CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx
             FROM j GROUP BY seg
         ), m AS (
             SELECT seg, n, sx / n AS mean,
@@ -207,6 +207,10 @@ TTEST_SEG_B = "MACHINERY"
     description="Welch's unequal-variance two-sample t-test on order "
     "value between two customer segments: one distributed pass builds "
     "exact-DECIMAL (n, sum, sum-of-squares) per segment, the test "
+    "statistic's sum-of-squares leaves DECIMAL via VARCHAR so DuckDB "
+    "takes the correctly-rounded string->double path (its direct "
+    "int128/10^scale cast double-rounds above 2^53 and drifted an ulp "
+    "at sf0.1), the "
     "statistic and Welch-Satterthwaite df are a scalar epilogue on the "
     "2-row aggregate. Squares stay in DECIMAL (exact, order-"
     "insensitive); every double op afterwards is IEEE correctly-"

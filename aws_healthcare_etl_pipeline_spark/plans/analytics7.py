@@ -41,7 +41,7 @@ ZS_FLAG = 2.0  # |z| threshold
             SELECT day, rev,
                    COUNT(*) OVER w AS n_prev,
                    SUM(rev) OVER w AS s_prev,
-                   SUM(rev * rev) OVER w AS ss_prev
+                   SUM(CAST(rev AS DECIMAL(19,2)) * rev) OVER w AS ss_prev
             FROM daily
             WINDOW w AS (ORDER BY day
                          ROWS BETWEEN {ZS_WINDOW} PRECEDING
@@ -50,7 +50,7 @@ ZS_FLAG = 2.0  # |z| threshold
             SELECT day, CAST(rev AS DOUBLE) AS revenue, n_prev,
                    (CAST(rev AS DOUBLE)
                     - CAST(s_prev AS DOUBLE) / CAST(n_prev AS DOUBLE))
-                   / sqrt((CAST(ss_prev AS DOUBLE)
+                   / sqrt((CAST(CAST(ss_prev AS VARCHAR) AS DOUBLE)
                            - CAST(s_prev AS DOUBLE) * CAST(s_prev AS DOUBLE)
                              / CAST(n_prev AS DOUBLE))
                           / (CAST(n_prev AS DOUBLE) - 1.0)) AS z
