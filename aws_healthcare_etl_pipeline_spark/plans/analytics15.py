@@ -220,3 +220,82 @@ def concurrency_sweepline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").alias("max_concurrent"))
         .orderBy("day")
     )
+
+
+@query(
+    "approx_theta_set_algebra",
+    oracle="""
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+             b AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+               CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                    AS BIGINT) AS exact_union,
+               CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                    AS BIGINT) AS exact_intersect,
+               TRUE AS union_within_5pct,
+               TRUE AS intersect_within_10pct
+    """,
+    description="Distinct-set ALGEBRA via theta sketches (Spark 4 "
+    "theta_sketch_agg / theta_union / theta_intersection): 1995 and "
+    "1996 buyer sets sketch independently, and union/intersection "
+    "cardinalities come from sketch combination — the question "
+    "mergeable HLL cannot answer (HLL unions but never intersects). "
+    "At 100 TB this serves audience-overlap queries from per-segment "
+    "sketches without re-scanning raw data. Estimates self-grade "
+    "against in-plan exact counts (5%/10% — intersections carry "
+    "compounded error); sketch bytes aren't engine-portable, so the "
+    "oracle pins exact counts and the grade flags.",
+)
+def approx_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    sk = (
+        y95.agg(F.expr("theta_sketch_agg(o_custkey)").alias("sa"))
+        .crossJoin(y96.agg(F.expr("theta_sketch_agg(o_custkey)").alias("sb")))
+        .select(
+            F.expr("theta_sketch_estimate(sa)").alias("est_a"),
+            F.expr("theta_sketch_estimate(sb)").alias("est_b"),
+            F.expr("theta_sketch_estimate(theta_union(sa, sb))").alias("est_union"),
+            F.expr("theta_sketch_estimate(theta_intersection(sa, sb))").alias(
+                "est_intersect"
+            ),
+        )
+    )
+    exact = (
+        y95.distinct().agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(y96.distinct().agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            y95.union(y96).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        )
+        .crossJoin(
+            y95.distinct()
+            .intersect(y96.distinct())
+            .agg(F.count(F.lit(1)).alias("exact_intersect"))
+        )
+    )
+    return exact.crossJoin(sk).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            <= 0.05 * F.col("exact_union")
+        ).alias("union_within_5pct"),
+        (
+            F.abs(F.col("est_intersect") - F.col("exact_intersect"))
+            <= 0.10 * F.col("exact_intersect")
+        ).alias("intersect_within_10pct"),
+    )
