@@ -1,0 +1,203 @@
+"""Wave-26: dataset-shift auditing and seasonal decomposition.
+
+Both follow the no-libm-on-data rule: the drift statistic is the
+triangular discrimination Σ (p-q)²/(p+q) (PSI's ln replaced by an
+f-divergence that needs only +,-,*,/), and the seasonal component is
+expressed through EXACT decimal numerators (7·rev − trailing-sum)
+so no order-dependent double summation exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import dec, query
+
+N_BINS = 10
+
+
+@query(
+    "audit_distribution_drift",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_totalprice AS x,
+                   CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                        THEN 'ref' ELSE 'cur' END AS era
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        ), edges AS (
+            SELECT quantile_disc(x, [{", ".join(f"{i}/{N_BINS}.0" for i in range(1, N_BINS))}])
+                       AS qs
+            FROM base WHERE era = 'ref'
+        ), binned AS (
+            SELECT era,
+                   1 + len(list_filter(qs, q -> x > q)) AS bin
+            FROM base, edges
+        ), counts AS (
+            SELECT bin,
+                   SUM(CASE WHEN era = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+                   SUM(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS n_cur
+            FROM binned GROUP BY bin
+        ), tot AS (
+            SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+        )
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+                - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
+               * (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+                  - CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
+               / (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)
+                  + CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE))
+                   AS drift_term
+        FROM counts, tot
+        ORDER BY bin
+    """,
+    description="Dataset-shift audit (the PSI-style drift monitor "
+    "every production feature pipeline runs): 1995 orders are the "
+    "reference era, 1996 the current; bins come from the reference "
+    "era's exact deciles (quantile_disc on actual values — "
+    "engine-identical, no interpolation), and per-bin drift is the "
+    "triangular-discrimination term (p-q)^2/(p+q) — an f-divergence "
+    "that replaces PSI's ln with pure rational arithmetic, keeping "
+    "the statistic bit-portable. Bin edges broadcast; one pass per "
+    "era. Summing drift_term gives the scalar monitor value.",
+)
+def audit_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    base = orders.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), "ref"
+        )
+        .otherwise("cur")
+        .alias("era"),
+    )
+    ref = base.filter(F.col("era") == "ref")
+    # exact discrete quantiles (no interpolation): the k/N-quantile is
+    # the value at 1-based rank ceil(k*n/N) in sorted order — matches
+    # DuckDB quantile_disc's definition on both engines
+    n_ref = ref.count()
+    ranked = ref.withColumn("r", F.row_number().over(Window.orderBy("x")))
+    cut_ranks = [-(-k * n_ref // N_BINS) for k in range(1, N_BINS)]  # ceil
+    edges = [
+        r.x
+        for r in ranked.filter(F.col("r").isin(cut_ranks))
+        .select("r", "x")
+        .orderBy("r")
+        .collect()
+    ]
+    # dedupe while preserving rank association (duplicates possible on
+    # repeated values — keep all N_BINS-1 edges as quantile_disc does)
+    bin_expr = F.lit(1)
+    for e in edges:
+        bin_expr = bin_expr + (F.col("x") > F.lit(float(e))).cast("int")
+    counts = (
+        base.withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(
+            F.sum((F.col("era") == "ref").cast("long")).alias("n_ref"),
+            F.sum((F.col("era") == "cur").cast("long")).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = F.col("n_ref").cast("double") / F.col("t_ref").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("t_cur").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_ref",
+            "n_cur",
+            ((p - q) * (p - q) / (p + q)).alias("drift_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "timeseries_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+                        AS DECIMAL(15,2)) AS rev
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+            GROUP BY 1
+        ), trended AS (
+            SELECT d, rev,
+                   SUM(CAST(rev AS DECIMAL(19,2))) OVER
+                     (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS t_sum,
+                   COUNT(*) OVER
+                     (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS t_n
+            FROM daily
+        ), full_weeks AS (
+            SELECT d, rev, t_sum, dayofweek(d) AS dow
+            FROM trended WHERE t_n = 7
+        )
+        SELECT CAST(dow AS INT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(CAST(SUM(7 * CAST(rev AS DECIMAL(19,2)) - t_sum)
+                         AS VARCHAR) AS DOUBLE)
+                   / (7.0 * COUNT(*)) AS seasonal_component
+        FROM full_weeks
+        GROUP BY dow
+        ORDER BY dow
+    """,
+    description="Additive seasonal decomposition, day-of-week "
+    "component: seasonal(dow) = mean over days of (rev - centered "
+    "7-day trend). Expressed as the EXACT decimal numerator "
+    "Σ(7·rev − trend_sum) divided once at the end — a naive "
+    "mean-of-deviations would sum raw doubles in partition order. "
+    "The numerator leaves DECIMAL via VARCHAR (the >2^53 rule from "
+    "SCALE.md). Edge days without a full centered week are excluded "
+    "(t_n = 7), matching both engines exactly.",
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(dec("o_totalprice")).cast("decimal(15,2)").alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "rev",
+        F.sum(F.col("rev").cast("decimal(19,2)")).over(w).alias("t_sum"),
+        F.count(F.lit(1)).over(w).alias("t_n"),
+    ).filter(F.col("t_n") == 7)
+    # dow alignment: Spark dayofweek is 1-based (Sunday=1), DuckDB's
+    # is 0-based (Sunday=0) — shift Spark down by one.
+    return (
+        trended.select(
+            (F.dayofweek("d") - 1).alias("dow"),
+            "rev",
+            "t_sum",
+        )
+        .groupBy(F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (
+                F.sum(
+                    F.lit(7) * F.col("rev").cast("decimal(19,2)") - F.col("t_sum")
+                )
+                .cast("string")
+                .cast("double")
+                / (F.lit(7.0) * F.count(F.lit(1)))
+            ).alias("seasonal_component"),
+        )
+        .orderBy("dow")
+    )
