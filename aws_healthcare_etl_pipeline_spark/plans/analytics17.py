@@ -201,3 +201,79 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+        WITH um AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('month', ts) AS m
+            FROM events
+        ), flagged AS (
+            SELECT user_id, m,
+                   lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+            FROM um
+        ), classified AS (
+            SELECT m,
+                   CASE WHEN prev_m IS NULL THEN 'new'
+                        WHEN prev_m = m - INTERVAL 1 MONTH THEN 'retained'
+                        ELSE 'resurrected' END AS state
+            FROM flagged
+        ), churn AS (
+            SELECT m + INTERVAL 1 MONTH AS m, 'churned' AS state
+            FROM flagged f
+            WHERE NOT EXISTS (
+                SELECT 1 FROM um u
+                WHERE u.user_id = f.user_id
+                  AND u.m = f.m + INTERVAL 1 MONTH)
+              AND f.m + INTERVAL 1 MONTH <= (SELECT MAX(m) FROM um)
+        )
+        SELECT m AS month, state, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM (SELECT m, state FROM classified
+              UNION ALL SELECT m, state FROM churn)
+        GROUP BY m, state
+        ORDER BY month, state
+    """,
+    description="Growth accounting (the canonical MAU decomposition): "
+    "each active user-month classifies as new (first ever), retained "
+    "(active previous month), or resurrected (returning after a gap); "
+    "churned counts users active in month m-1 but not m, attributed "
+    "to m and clipped at the observed horizon. One (user, month) "
+    "dedup + one per-user lag window + an anti-join for churn — all "
+    "partitioned on user_id, so the three shuffles collapse onto one "
+    "key distribution at scale.",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    um = events.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("m")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("m")
+    flagged = um.withColumn("prev_m", F.lag("m").over(w))
+    classified = flagged.select(
+        "m",
+        F.when(F.col("prev_m").isNull(), "new")
+        .when(F.col("prev_m") == F.col("m") - F.expr("INTERVAL 1 MONTH"), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    max_m = um.agg(F.max("m").alias("max_m"))
+    next_m = (F.col("m") + F.expr("INTERVAL 1 MONTH")).alias("m_next")
+    churn = (
+        flagged.select("user_id", F.col("m"), next_m)
+        .join(
+            um.select("user_id", F.col("m").alias("m_next")),
+            ["user_id", "m_next"],
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_m))
+        .filter(F.col("m_next") <= F.col("max_m"))
+        .select(F.col("m_next").alias("m"), F.lit("churned").alias("state"))
+    )
+    return (
+        classified.unionByName(churn)
+        .groupBy(F.col("m").alias("month"), "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("month", "state")
+    )
