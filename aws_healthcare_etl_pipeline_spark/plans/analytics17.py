@@ -277,3 +277,91 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("month", "state")
     )
+
+
+BASKET_MIN_SUPPORT = 2
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n_baskets AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS nb FROM items
+        ), item_counts AS (
+            SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY l_partkey
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+        )
+        SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+               CAST(support AS DOUBLE) / CAST(ca.n AS DOUBLE)
+                   AS confidence_a_to_b,
+               CAST(support AS DOUBLE) * CAST(nb AS DOUBLE)
+                   / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)) AS lift
+        FROM pairs
+        JOIN item_counts ca ON ca.l_partkey = part_a
+        JOIN item_counts cb ON cb.l_partkey = part_b
+        CROSS JOIN n_baskets
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT 20
+    """,
+    description="Association rules on the co-occurrence pairs: "
+    "confidence(a->b) = support/n_a and lift = support*N/(n_a*n_b), "
+    "both exact-integer ratios evaluated as identical double "
+    "divisions. Item counts and the basket total broadcast back onto "
+    "the pair aggregation, so the only wide shuffle is still the pair "
+    "groupBy; (lift, part_a, part_b) is a total order for the top-20. "
+    "This is FP-growth's rule-generation pass expressed relationally.",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = items.agg(F.count_distinct("l_orderkey").alias("nb"))
+    item_counts = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    ca = item_counts.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    cb = item_counts.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (F.col("support").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                F.col("support").cast("double")
+                * F.col("nb").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
