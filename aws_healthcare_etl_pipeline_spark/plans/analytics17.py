@@ -365,3 +365,36 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "exact_median_selection",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS v
+            FROM orders
+        ), r AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c
+        ), n AS (SELECT COUNT(*) AS n FROM c)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               CAST(v AS BIGINT) AS median_cents,
+               CAST(v AS DOUBLE) / 100.0 AS median_price
+        FROM r, n WHERE rn = (n + 1) // 2
+    """,
+    description="Exact median WITHOUT a global sort "
+    "(operators/selection.py): iterative histogram refinement on the "
+    "integer-cents domain — each pass is one map-side-combined "
+    "4096-bucket count (B counts per partition on the wire), and "
+    "log_B(domain) passes pin the answer (2 passes here). The "
+    "distributed-selection alternative to sorting 100 TB for one "
+    "middle element; lower-median convention, pinned by the oracle's "
+    "explicit rank (n+1)//2.",
+)
+def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import exact_median_cents
+
+    orders = load_table(spark, sf_dir, "orders")
+    n, cents, price = exact_median_cents(orders, dec("o_totalprice"))
+    return spark.createDataFrame(
+        [(n, cents, price)], "n_rows long, median_cents long, median_price double"
+    )

@@ -89,3 +89,16 @@ def test_sliding_distinct_matches_per_day_recount(spark, sf_dir):
     ).fetchall()
     for d, n in rows:
         assert got[d] == n, (d, got[d], n)
+
+
+def test_kth_smallest_matches_sorted_order(spark, sf_dir):
+    from aws_healthcare_etl_pipeline_spark.operators.selection import kth_smallest
+    from aws_healthcare_etl_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long").alias("c")
+    )
+    vals = sorted(r.c for r in df.collect())
+    for k in (1, 7, len(vals) // 2, len(vals)):
+        assert kth_smallest(df, "c", k) == vals[k - 1], k
