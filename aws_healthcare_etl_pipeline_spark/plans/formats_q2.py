@@ -110,3 +110,62 @@ def format_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "format_dynamic_partition_overwrite",
+    oracle="""
+        WITH final AS (
+            SELECT o_orderstatus,
+                   CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DECIMAL(15,2)) * 2
+                        ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+            FROM orders WHERE o_orderkey < 4000
+        )
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(price) AS DOUBLE) AS total_price
+        FROM final
+        GROUP BY o_orderstatus
+        ORDER BY status
+    """,
+    description="Dynamic partition overwrite "
+    "(spark.sql.sources.partitionOverwriteMode=dynamic): the "
+    "hive-partitioned table is first written whole, then ONLY the "
+    "status='F' partition is rewritten (prices doubled as the marker) "
+    "— the other partitions' files must survive untouched, which "
+    "static overwrite mode would have deleted. This is the partition-"
+    "level upsert every incremental batch pipeline relies on; the "
+    "oracle states the expected merged end-state from the raw table.",
+)
+def format_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", dec("o_totalprice").alias("price"), "o_orderstatus")
+    )
+    base = tempfile.mkdtemp(prefix="dpo_")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(base)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            orders.filter(F.col("o_orderstatus") == "F")
+            .withColumn("price", F.col("price") * 2)
+            .write.partitionBy("o_orderstatus")
+            .mode("overwrite")
+            .parquet(base)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        spark.read.parquet(base)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("status")
+    )
