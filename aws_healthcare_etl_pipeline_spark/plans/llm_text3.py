@@ -187,3 +187,58 @@ def approx_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(10)
     )
+
+
+@query(
+    "text_bigram_continuation_counts",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), bigrams AS (
+            SELECT t[s.i] AS w1, t[s.i + 1] AS w2
+            FROM toks, LATERAL (
+                SELECT UNNEST(generate_series(1, len(t) - 1)) AS i) s
+        ), bg AS (
+            SELECT w1, w2, COUNT(*) AS n FROM bigrams GROUP BY 1, 2
+        )
+        SELECT w2 AS word,
+               CAST(SUM(n) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(*) AS BIGINT) AS n_left_contexts,
+               CAST(MAX(n) AS BIGINT) AS max_bigram_count
+        FROM bg
+        GROUP BY w2
+        ORDER BY n_occurrences DESC, word
+        LIMIT 20
+    """,
+    description="Kneser-Ney ingredient counts: per word its bigram "
+    "occurrence total AND its continuation count (distinct left "
+    "contexts) — the quantity KN smoothing substitutes for raw "
+    "frequency, and the first statistical-LM data-prep pass. Bigrams "
+    "come from adjacent token pairs via one generator per doc "
+    "(positions 1..len-1, linear); two grouped aggregations reuse the "
+    "(w1, w2) shuffle for the per-word rollup. All counts exact "
+    "integers; (n_occurrences, word) totally orders the top-20.",
+)
+def text_bigram_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bg.groupBy(F.col("w2").alias("word"))
+        .agg(
+            F.sum("n").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_left_contexts"),
+            F.max("n").alias("max_bigram_count"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+        .limit(20)
+    )

@@ -82,6 +82,12 @@ HEADLINE = [
     "events_time_weighted_value",
     "concurrency_sweepline_daily",
     "agg_bitmap_distinct",
+    "exact_median_selection",
+    "basket_association_rules",
+    "events_growth_accounting",
+    "interval_join_campaign_orders",
+    "audit_distribution_drift",
+    "approx_theta_set_algebra",
 ]
 
 
