@@ -145,3 +145,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = attach_binary_payload(docs, "text")
     frames = sample_frames(with_payload, every_n=4)
     return frames.orderBy("doc_id", "frame_idx")
+
+
+CHUNK_BYTES = 64
+
+
+@query(
+    "multimodal_chunk_dedup",
+    oracle=f"""
+        WITH p AS (
+            SELECT source, hex(encode(text)) AS hx FROM documents
+        ), chunks AS (
+            SELECT source,
+                   md5(substring(hx,
+                                 CAST((s.i - 1) * {2 * CHUNK_BYTES} + 1 AS INT),
+                                 {2 * CHUNK_BYTES})) AS chunk_id
+            FROM p, LATERAL (
+                SELECT UNNEST(generate_series(
+                    1,
+                    CAST((length(hx) + {2 * CHUNK_BYTES - 1}) // {2 * CHUNK_BYTES}
+                         AS BIGINT),
+                    1)) AS i) s
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_distinct_chunks
+        FROM chunks
+        GROUP BY source
+        ORDER BY source
+    """,
+    description="Content-addressable chunk dedup over BINARY payloads "
+    "(the blob-store pattern: fixed 64-byte chunks, md5 chunk ids, "
+    "store each distinct chunk once): chunk identity goes through "
+    "hex() so the digest input is an engine-portable string (DuckDB "
+    "has no BLOB substring, so both engines slice the hex form — two "
+    "chars per byte, byte semantics preserved exactly). Per-source chunk totals vs distinct "
+    "counts quantify the dedup win. One generator per payload "
+    "(length/64 elements, linear) + one distinct-agg shuffle on "
+    "16-byte ids.",
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "source", F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx")
+    )
+    hex_chunk = 2 * CHUNK_BYTES
+    chunks = p.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                ((F.length("hx") + hex_chunk - 1) / hex_chunk).cast("long"),
+                F.lit(1),
+            )
+        ).alias("i"),
+        "hx",
+    ).select(
+        "source",
+        F.md5(
+            F.expr(
+                f"substring(hx, CAST((i - 1) * {hex_chunk} + 1 AS INT), {hex_chunk})"
+            )
+        ).alias("chunk_id"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("chunk_id").alias("n_distinct_chunks"),
+        )
+        .orderBy("source")
+    )
