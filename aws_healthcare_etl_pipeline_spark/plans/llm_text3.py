@@ -242,3 +242,118 @@ def text_bigram_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("n_occurrences"), "word")
         .limit(20)
     )
+
+
+@query(
+    "pipeline_training_export_e2e",
+    oracle="""
+        WITH filtered AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '[ ]+') AS t
+            FROM documents
+            WHERE len(regexp_extract_all(text, '[A-Za-z]+')) >= 50
+        ), deduped AS (
+            SELECT doc_id, t FROM (
+                SELECT doc_id, t,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM filtered) x
+            WHERE rn = 1
+        ), meta AS (
+            SELECT doc_id, t, len(t) AS n,
+                   CASE WHEN len(t) <= 10 THEN 1
+                        ELSE CAST(floor((len(t) - 11) / 40) AS BIGINT) + 1
+                   END AS n_chunks
+            FROM deduped
+        ), chunks AS (
+            SELECT doc_id, n, s.i AS ci,
+                   least(50, n - s.i * 40) AS chunk_len,
+                   md5(array_to_string(
+                       t[s.i * 40 + 1 : s.i * 40 + least(50, n - s.i * 40)],
+                       ' ')) AS chunk_md5
+            FROM meta, LATERAL (
+                SELECT UNNEST(generate_series(0, n_chunks - 1)) AS i) s
+        ), assigned AS (
+            SELECT CASE WHEN substr(chunk_md5, 1, 1) <= 'b' THEN 'train'
+                        WHEN substr(chunk_md5, 1, 1) <= 'd' THEN 'val'
+                        ELSE 'test' END AS split,
+                   doc_id, chunk_len, chunk_md5
+            FROM chunks
+        )
+        SELECT split,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(chunk_len) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks
+        FROM assigned
+        GROUP BY split
+        ORDER BY split
+    """,
+    description="End-to-end training-data export: quality gate "
+    "(>=50 words) -> exact dedup (md5 keeper, lowest doc_id) -> "
+    "50-token/stride-40 sliding chunks -> leakage-safe content-hash "
+    "split at CHUNK granularity (75/12.5/12.5 by md5 first hex "
+    "digit). One pipeline composing four curation operators, every "
+    "stage exact and engine-portable; per-split doc/chunk/token "
+    "accounting is the export manifest. At 100 TB each stage is the "
+    "documented scale shape of its standalone operator (map-only "
+    "gate, one dedup shuffle, linear chunk generators, hash split "
+    "with no shuffle at all).",
+)
+def pipeline_training_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")) >= 50
+    ).select("doc_id", "text", F.split(F.trim(F.col("text")), " +").alias("t"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "t")
+    )
+    meta = deduped.select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.when(F.size("t") <= 10, F.lit(1).cast("long"))
+        .otherwise(F.floor((F.size("t") - 11) / 40).cast("long") + 1)
+        .alias("n_chunks"),
+    )
+    chunks = meta.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("ci"),
+        "t",
+    ).select(
+        "doc_id",
+        F.least(F.lit(50), F.col("n") - F.col("ci") * 40).alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.col("ci") * 40 + 1,
+                    F.least(F.lit(50), F.col("n") - F.col("ci") * 40),
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    first_hex = F.substring("chunk_md5", 1, 1)
+    assigned = chunks.withColumn(
+        "split",
+        F.when(first_hex <= "b", "train").when(first_hex <= "d", "val").otherwise(
+            "test"
+        ),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("total_tokens"),
+            F.count_distinct("chunk_md5").alias("n_distinct_chunks"),
+        )
+        .orderBy("split")
+    )
