@@ -398,3 +398,58 @@ def exact_median_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, cents, price)], "n_rows long, median_cents long, median_price double"
     )
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+        WITH a AS (SELECT o_custkey AS k FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+             b AS (SELECT o_custkey AS k FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+        SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
+        FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        UNION ALL
+        SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT k) AS BIGINT)
+        FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        UNION ALL
+        SELECT 'union_all', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT k) AS BIGINT)
+        FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+        ORDER BY op
+    """,
+    description="Bag-semantics set operations (INTERSECT ALL / EXCEPT "
+    "ALL / UNION ALL): multiplicity-aware variants — EXCEPT ALL keeps "
+    "max(count_a - count_b, 0) copies per key, INTERSECT ALL keeps "
+    "min(count_a, count_b) — which the earlier DISTINCT-set battery "
+    "(setop_*) cannot express. Spark plans these as count-annotated "
+    "aggregations + a generator, not row-by-row matching; counts per "
+    "op plus distinct-key counts pin the multiplicities.",
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("k"))
+    b = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("k"))
+
+    def stats(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("k").alias("n_keys"),
+        ).select(F.lit(op).alias("op"), "n_rows", "n_keys")
+
+    return (
+        stats(a.exceptAll(b), "except_all")
+        .unionByName(stats(a.intersectAll(b), "intersect_all"))
+        .unionByName(stats(a.unionAll(b), "union_all"))
+        .orderBy("op")
+    )
