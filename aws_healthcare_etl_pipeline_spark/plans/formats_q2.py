@@ -169,3 +169,61 @@ def format_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("status")
     )
+
+
+@query(
+    "format_jsonl_corrupt_records",
+    oracle="""
+        WITH lines AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN doc_id % 5 = 0 THEN 'corrupt'
+                        ELSE 'good' END AS kind
+            FROM documents WHERE doc_id < 3000
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN kind = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_parsed,
+               CAST(SUM(CASE WHEN kind = 'corrupt' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupt,
+               CAST(SUM(CASE WHEN kind = 'good' THEN n_chars END) AS BIGINT)
+                   AS sum_chars_parsed
+        FROM lines
+    """,
+    description="Schema-on-read error handling for JSONL: every 5th "
+    "line is written deliberately truncated (unclosed brace), and the "
+    "PERMISSIVE reader must park exactly those lines in "
+    "_corrupt_record with NULL data fields while parsing the rest — "
+    "the malformed-feed contract batch ingestion depends on (FAILFAST "
+    "would kill a 100 TB job for one bad line; DROPMALFORMED would "
+    "hide it). The oracle recomputes the good/corrupt partition from "
+    "the deterministic corruption rule.",
+)
+def format_jsonl_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3000)
+    line = F.when(
+        F.col("doc_id") % 5 == 0,
+        # truncated JSON: opening brace + key, no closing brace
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "n_chars": '),
+            F.col("n_chars").cast("string"),
+            F.lit("}"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="jsonl_corrupt_")
+    docs.select(line.alias("value")).write.mode("overwrite").text(f"{base}/feed")
+    parsed = (
+        spark.read.schema("doc_id LONG, n_chars LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{base}/feed")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("n_chars").alias("n_parsed"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum("n_chars").alias("sum_chars_parsed"),
+    )
