@@ -227,3 +227,59 @@ def format_jsonl_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt_record").alias("n_corrupt"),
         F.sum("n_chars").alias("sum_chars_parsed"),
     )
+
+
+@query(
+    "format_csv_multiline_quoted",
+    oracle="""
+        WITH rows AS (
+            SELECT o_orderkey,
+                   'note for ' || CAST(o_orderkey AS VARCHAR) ||
+                   ', "quoted"' || chr(10) || 'second line' AS note,
+                   CAST(o_totalprice AS DECIMAL(15,2)) AS price
+            FROM orders WHERE o_orderkey < 2000
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(length(note)) AS BIGINT) AS total_note_chars,
+               CAST(SUM(price) AS DOUBLE) AS total_price
+        FROM rows
+    """,
+    description="CSV with embedded commas, escaped quotes, AND "
+    "newlines inside quoted fields — the classic feed-breaker. The "
+    "writer quotes/escapes (quoteAll), the reader needs "
+    "multiLine=true (without it, line-split parsing shreds records "
+    "mid-field). Round-trip aggregation must equal the oracle's "
+    "direct computation of the constructed notes. Scale caveat "
+    "stated: multiLine CSV is NOT split-parallel per file (records "
+    "cross line boundaries), so big multiline feeds should land as "
+    "many medium files — noted in the format matrix.",
+)
+def format_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    rows = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("note for "),
+            F.col("o_orderkey").cast("string"),
+            F.lit(', "quoted"\nsecond line'),
+        ).alias("note"),
+        dec("o_totalprice").alias("price"),
+    )
+    base = tempfile.mkdtemp(prefix="csv_ml_")
+    (
+        rows.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .csv(f"{base}/feed")
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("o_orderkey LONG, note STRING, price DECIMAL(15,2)")
+        .csv(f"{base}/feed")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("note")).alias("total_note_chars"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
