@@ -88,6 +88,8 @@ HEADLINE = [
     "interval_join_campaign_orders",
     "audit_distribution_drift",
     "approx_theta_set_algebra",
+    "pipeline_training_export_e2e",
+    "multimodal_chunk_dedup",
 ]
 
 
