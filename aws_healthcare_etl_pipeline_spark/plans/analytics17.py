@@ -453,3 +453,96 @@ def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats(a.unionAll(b), "union_all"))
         .orderBy("op")
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="Join-strategy control surface: the fact-fact join is "
+    "hinted SHUFFLE_HASH, trading sort-merge's two sorts for hash "
+    "tables — the right call when one side comfortably fits a "
+    "partition's memory and spill risk is low (build-side OOM is the "
+    "trade; AQE cannot convert an SMJ mid-flight the way it can for "
+    "broadcast). tests/test_plans.py pins ShuffledHashJoin in the "
+    "plan with broadcast disabled; results are hint-invariant, which "
+    "is what the oracle certifies.",
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", dec("l_extendedprice").alias("price")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "generator_outer_edge_battery",
+    oracle="""
+        WITH src AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 3 = 0 THEN []
+                        ELSE [o_orderkey % 7, o_orderkey % 5] END AS arr
+            FROM orders WHERE o_orderkey < 3000
+        ), exploded AS (
+            SELECT k, UNNEST(CASE WHEN len(arr) = 0
+                                  THEN [NULL]::BIGINT[] ELSE arr END) AS v
+            FROM src
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(v) AS BIGINT) AS n_values,
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_rows,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys_survived,
+               CAST(SUM(v) AS BIGINT) AS sum_values
+        FROM exploded
+    """,
+    description="Outer-generator NULL semantics: explode_outer keeps "
+    "a row (with NULL element) for EMPTY arrays where plain explode "
+    "silently drops the parent — the difference between 'no tags' "
+    "disappearing from a report and showing as an explicit null "
+    "group. Every third key carries an empty array; the battery pins "
+    "row counts, null rows, and key survival. DuckDB's UNNEST drops "
+    "empties like inner explode, so the oracle models the outer "
+    "contract with an explicit [NULL] substitution.",
+)
+def generator_outer_edge_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<bigint>"))
+        .otherwise(
+            F.array(F.col("o_orderkey") % 7, F.col("o_orderkey") % 5).cast(
+                "array<bigint>"
+            )
+        )
+        .alias("arr"),
+    )
+    exploded = src.select("k", F.explode_outer("arr").alias("v"))
+    return exploded.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_values"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null_rows"),
+        F.count_distinct("k").alias("n_keys_survived"),
+        F.sum("v").alias("sum_values"),
+    )

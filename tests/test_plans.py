@@ -238,3 +238,14 @@ def test_interval_join_avoids_nested_loop(spark, sf_dir):
     plan = physical_plan(REGISTRY["interval_join_campaign_orders"].fn(spark, sf_dir))
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(REGISTRY["join_hint_shuffle_hash"].fn(spark, sf_dir))
+        assert "ShuffledHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
