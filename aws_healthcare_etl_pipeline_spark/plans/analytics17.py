@@ -546,3 +546,56 @@ def generator_outer_edge_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("k").alias("n_keys_survived"),
         F.sum("v").alias("sum_values"),
     )
+
+
+@query(
+    "join_null_safe_equality",
+    oracle="""
+        WITH a AS (
+            SELECT CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                        ELSE o_orderkey % 50 END AS k
+            FROM orders WHERE o_orderkey < 2000
+        ), b AS (
+            SELECT CASE WHEN o_orderkey % 6 = 0 THEN NULL
+                        ELSE o_orderkey % 50 END AS k
+            FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+        )
+        SELECT 'equi' AS join_kind,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM a JOIN b ON a.k = b.k
+        UNION ALL
+        SELECT 'null_safe',
+               CAST(COUNT(*) AS BIGINT)
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY join_kind
+    """,
+    description="Null-safe equality (<=> / IS NOT DISTINCT FROM) vs "
+    "plain = in join conditions: every 4th left key and 6th right key "
+    "is NULL; the equi join silently drops them all, the null-safe "
+    "join matches NULL-to-NULL — the difference between losing "
+    "unknown-key rows and pairing them, a recurring CDC/merge-key "
+    "bug. Both counts pinned. The null-safe form still plans as a "
+    "hash join (null is just another key value under <=>), not a "
+    "nested loop.",
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") < 2000).select(
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_orderkey") % 50)
+        .alias("ka")
+    )
+    b = orders.filter(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)
+    ).select(
+        F.when(F.col("o_orderkey") % 6 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_orderkey") % 50)
+        .alias("kb")
+    )
+    equi = a.join(b, F.col("ka") == F.col("kb")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).select(F.lit("equi").alias("join_kind"), "n_pairs")
+    nsafe = a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).select(F.lit("null_safe").alias("join_kind"), "n_pairs")
+    return equi.unionByName(nsafe).orderBy("join_kind")
