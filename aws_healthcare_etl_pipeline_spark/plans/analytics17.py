@@ -599,3 +599,36 @@ def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs")
     ).select(F.lit("null_safe").alias("join_kind"), "n_pairs")
     return equi.unionByName(nsafe).orderBy("join_kind")
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+        SELECT r_name,
+               string_agg(n_name, '|' ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+    description="Ordered string aggregation (SQL:2023 LISTAGG ... "
+    "WITHIN GROUP, Spark 4): nations concatenated per region in "
+    "deterministic name order — the denormalized-label export shape. "
+    "The WITHIN GROUP ordering is what makes the result stable "
+    "regardless of partial-aggregation order; DuckDB's string_agg "
+    "with ORDER BY is the same contract.",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
