@@ -632,3 +632,36 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "agg_bitwise_battery",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(bit_and(c_custkey) AS BIGINT) AS and_all,
+               CAST(bit_or(c_custkey) AS BIGINT) AS or_all,
+               CAST(bit_xor(c_custkey) AS BIGINT) AS xor_all,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="Bitwise aggregate battery (bit_and / bit_or / "
+    "bit_xor): associative, commutative, integer-exact — ideal "
+    "partial-aggregation citizens (xor famously detects unpaired "
+    "rows: xor of a self-cancelling multiset is the odd one out). "
+    "Map-side combine shrinks every partition to three words per "
+    "group before the shuffle.",
+)
+def agg_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.expr("bit_and(c_custkey)").alias("and_all"),
+            F.expr("bit_or(c_custkey)").alias("or_all"),
+            F.expr("bit_xor(c_custkey)").alias("xor_all"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
