@@ -70,97 +70,137 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q5_region_revenue"].fn(_prepared(spark), "/root/testdata/sf0.001")
 
 
-# Verification-window ordering. The round-1 harness checked exactly the
-# first 50 registry entries in insertion order, leaving the tail
-# unverified; queries the round-1 report did NOT green-light are listed
-# here FIRST so they all land inside the checked window this round.
-# Everything already verified green rotates behind them (it stays fully
-# covered by the sf0.001 pytest parity gate either way).
+# Verification-window ordering. The driver checks the FIRST ~50 entries
+# of queries() each round; rounds 1+2 verified 96 distinct queries green
+# (CORRECTNESS_r01/r02). Round 3 rotates those to the back and front-loads
+# 50 queries that have NEVER had a driver correctness row, in the judge's
+# priority order (VERDICT r2 "Next round" #1): capstones, PQ ANN, the
+# SQL-text front end, the shaped TPC-H wave, streaming SCD2 / stream-
+# stream join, the format matrix, and this round's four scale-fix
+# queries (rfm / curriculum / drift / fuzzy — fixed plans MUST face the
+# hard signal). Remaining never-checked queries follow immediately after
+# slot 50 so a wider window picks them up; previously-green entries
+# trail at the end (still covered by the sf0.001 pytest parity gate).
 _VERIFICATION_PRIORITY = [
-    # round-1 unchecked tail, original order
-    "agg_variance_exact",
-    "window_topk_parts_per_brand",
-    "window_lag_order_deltas",
-    "window_running_supplier_revenue",
-    "asof_purchase_last_click",
-    "sessionize_user_events",
-    "asof_forward_next_purchase",
-    "grouping_sets_explicit",
-    "window_range_interval_frame",
-    "funnel_click_to_purchase",
-    "top_ngrams_per_lang",
-    "events_daily_active_users",
-    "feature_zscore_prices",
-    "text_token_stats_by_lang",
-    "text_quality_scores",
-    "text_language_id_confusion",
-    "text_fingerprint_clusters",
-    "dedup_exact_counts_by_lang",
-    "text_bpe_token_estimate",
-    "text_winnowing_fingerprints",
-    "sampling_hash_split",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_clusters",
-    "sim_bruteforce_topk",
-    "sim_lsh_ann_topk",
-    "dedup_embedding_cosine_pairs",
-    "emb_norm_stats_by_label",
-    "sim_ivf_ann_topk",
-    "streaming_hourly_counts",
-    "batch_hourly_counts",
-    "multimodal_payload_stats",
-    "multimodal_feature_extract",
-    "multimodal_resize_stats",
-    "multimodal_frame_sample",
-    # round-1 rows with a diagnosed defect, now fixed (oracle types /
-    # missing oracle)
-    "math_function_battery",
-    "json_typed_struct",
-    "pipeline_training_data_prep",
-    "approx_aggregates",
-    # new in round 2 (never driver-checked). The first ten fit in the
-    # 50-slot window this round; the rest are pytest/sim-verified and
-    # rotate into the window next round.
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "text_repetition_ratio",
-    "dedup_passage_level",
-    "text_contamination_check",
-    "pipeline_sequence_packing",
-    "scd2_customer_balance_history",
-    "streaming_stateful_user_totals",
-    "sampling_stratified_fixed_n",
+    # --- front 50: never driver-checked, highest value first ---
+    "pipeline_training_export_e2e",
+    "multimodal_chunk_dedup",
+    "sim_pq_adc_topk",
+    "sql_lateral_view_tokens",
+    "sql_named_window_shares",
+    "sql_pivot_syntax",
+    "sql_inline_values_join",
+    "q2_shaped_cheapest_supplier",
+    "q9_shaped_profit_by_nation_year",
+    "q11_shaped_high_value_parts",
+    "q16_shaped_supplier_diversity",
+    "q18_large_volume_customers",
+    "q20_shaped_dominant_supplier",
+    "q21_sole_late_supplier",
+    "q22_shaped_dormant_high_balance",
     "streaming_sliding_counts",
     "streaming_dedup_replay",
-    "skew_salted_event_totals",
-    "format_roundtrip_matrix",
-    "q18_large_volume_customers",
     "streaming_stream_stream_join",
+    "streaming_scd2_upsert",
+    "streaming_static_enrich",
+    "format_roundtrip_matrix",
+    "format_schema_evolution",
+    "format_text_lines_roundtrip",
+    "format_xml_extract",
+    "format_dynamic_partition_overwrite",
+    "format_jsonl_corrupt_records",
+    "format_csv_multiline_quoted",
+    "rfm_customer_segments",
+    "pipeline_curriculum_interleave",
+    "audit_distribution_drift",
+    "fuzzy_name_matches",
+    "graph_triangle_count",
     "pipeline_ffd_packing",
     "text_tfidf_top_terms",
     "json_variant_extract",
-    # wave 5 (pytest/sim-verified; rotate into the checked window next
-    # round with the rest of the r2 tail)
+    "sampling_stratified_fixed_n",
+    "emb_pca_projection",
+    "skew_salted_event_totals",
     "events_cohort_retention",
+    "text_pmi_bigrams",
+    "quality_decile_buckets",
+    "graph_pagerank_nations",
+    "money_allocation_largest_remainder",
+    "exact_median_selection",
+    "agg_bitmap_distinct",
+    "approx_theta_set_algebra",
+    "pipeline_token_budget_selection",
+    "top_event_paths",
+    "anomaly_rolling_zscore",
+    "customer_purchase_streaks",
+    # --- never checked, continue past slot 50 (bonus if window wider) ---
     "regr_price_trend_by_brand",
     "outliers_mad_orders",
     "profile_orders_audit",
-    "text_pmi_bigrams",
-    "quality_decile_buckets",
     "events_markov_transitions",
     "events_rolling_wau",
     "orders_incremental_rollup",
-    "fuzzy_name_matches",
     "time_hierarchy_rollup",
     "basket_part_pairs",
     "price_histogram",
-    "graph_pagerank_nations",
     "chisq_segment_priority",
     "sampling_pps_orders",
+    "inverted_index_top_terms",
+    "share_of_parent_revenue",
+    "timeseries_gapfill_ffill",
+    "gini_customer_spend",
+    "welch_ttest_price_segments",
+    "referential_integrity_audit",
+    "table_diff_changelog",
+    "token_diversity_by_lang",
+    "weighted_median_price_per_flag",
+    "revenue_mom_yoy",
+    "pareto_frontier_parts",
+    "skew_profile_supplier_keys",
+    "winsorized_price_stats",
+    "sampling_group_disjoint_split",
+    "dedup_canonical_selection",
+    "pareto_80_20_customers",
+    "reconcile_order_totals",
+    "funnel_conversion_lag_stats",
+    "degree_distribution_suppliers",
+    "map_function_battery",
+    "posexplode_reconstruction",
+    "orderkey_gap_islands",
+    "asof_tolerance_attribution",
+    "text_pii_redaction",
+    "gapfill_linear_interp",
+    "pattern_event_sequences",
+    "layout_zorder_box_query",
+    "sampling_weighted_reservoir",
+    "pipeline_document_chunking",
+    "events_time_weighted_value",
+    "rolling_median_weekly",
+    "hierarchy_transitive_closure",
+    "maintenance_compact_files",
+    "approx_hll_mergeable",
+    "audit_benford_first_digit",
+    "concurrency_sweepline_daily",
+    "text_readability_scores",
+    "feature_quantile_normalization",
+    "window_rank_battery",
+    "scalar_try_functions_battery",
+    "maintenance_gdpr_erasure",
+    "privacy_pseudonymize_stable_ids",
+    "events_sliding_distinct_users",
+    "interval_join_campaign_orders",
+    "text_gopher_filters",
+    "approx_frequent_tokens",
+    "text_bigram_continuation_counts",
+    "timeseries_seasonal_decompose",
+    "events_growth_accounting",
+    "basket_association_rules",
+    "setop_all_variants",
+    "join_hint_shuffle_hash",
+    "generator_outer_edge_battery",
+    "join_null_safe_equality",
+    "agg_listagg_ordered",
+    "agg_bitwise_battery",
 ]
 
 

@@ -2,9 +2,10 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "headline_suite_wall_sec", "value": <total>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>}
+Prints ONE SHORT JSON line (suite total + top-10 slowest queries) as the
+LAST stdout line — the driver captures only a stdout tail, and the r2
+full 60-query line outgrew it (BENCH_r02.json parsed: null). Full
+per-query detail goes to BENCH_DETAIL.json at the repo root.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect), so timings reflect the distributed plan, not
@@ -100,7 +101,12 @@ def main() -> None:
     # is correct and this override would be dropped.
     spark = get_spark(
         app_name="bench",
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            # progress bars shared the driver's captured output window in
+            # r2 and crowded out the result line — keep them off here
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     # warm the session (JVM + parquet footer reads) outside timed region
     spark.range(1).count()
@@ -135,14 +141,37 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    result = {
+    total = round(sum(timings.values()), 3)
+    detail = {
         "metric": "headline_suite_wall_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
     }
-    print(json.dumps(result))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # SHORT summary line, printed LAST: total + the 10 slowest queries.
+    # The driver tail-captures stdout; r2's full 60-query line was too
+    # long to survive the window, so the machine-readable line must be
+    # compact and final.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": top10,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
