@@ -63,11 +63,10 @@ HASH_MOD = 1_000_000
 )
 def sampling_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    # identical u in both engines: DuckDB's hash() differs from
-    # xxhash64, so both sides use their OWN hash? No — u must match.
-    # Spark reproduces DuckDB's hash? It cannot; instead BOTH engines
-    # use the formula over a hash they share: none is shared natively,
-    # so u comes from md5 (identical hex in both) reduced to an int.
+    # u must be identical in both engines, and no native hash is
+    # shared (DuckDB hash() != xxhash64), so both derive u from the
+    # first 12 hex chars of md5(custkey) — md5 is bit-identical
+    # everywhere.
     u = (
         (F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12), 16, 10).cast("long")
          % HASH_MOD + F.lit(0.5))
@@ -306,13 +305,16 @@ def format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN co e3 ON e3.u = e1.v AND e3.v = e2.v
     """,
     description="Triangle counting on the co-supply graph (suppliers "
-    "sharing a part, bounded part range): edges deduped with u<v "
-    "orientation, triangles as the standard two-hop join e(u,v) x "
-    "e(u,w>v) x e(v,w). The orientation makes each triangle count "
-    "exactly once and caps the join fan-out at choose(deg,2) per "
-    "node; production-scale would orient by degree first (noted in "
-    "SCALE.md) but the count is orientation-invariant, which is what "
-    "the oracle pins.",
+    "sharing a part, bounded part range): edges deduped to u<v, then "
+    "DEGREE-ORIENTED — each undirected edge points from its lower-"
+    "degree endpoint to the higher (ties by id), making the graph a "
+    "DAG ordered by (degree, id). Every triangle then has exactly "
+    "one node with two out-edges, so the two-hop wedge join counts "
+    "each triangle once, and out-degrees are capped at O(sqrt(m)): "
+    "total wedge fan-out is O(m^1.5) instead of choose(deg, 2) on "
+    "hub nodes — the difference between a skew-killed and a bounded "
+    "shuffle on a power-law co-occurrence graph. The count is "
+    "orientation-invariant, which is what the oracle pins.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -335,17 +337,44 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1 = co.alias("e1")
-    e2 = co.alias("e2")
-    e3 = co.alias("e3")
-    tri = (
-        e1.join(
-            e2,
-            (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v")),
+    # the edge list feeds five subtrees (degree x2, wedge x3) — pin it
+    # once instead of re-deriving from the lineitem scan each time
+    co = co.localCheckpoint(eager=False)
+    # degree-orient: node-grain degree table (far smaller than the
+    # edge list), joined twice, then each edge points low-degree ->
+    # high-degree (tie: lower id). Out-degree in the oriented DAG is
+    # O(sqrt(m)), bounding the wedge join below.
+    deg = (
+        co.select(F.col("u").alias("node"))
+        .unionAll(co.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    u_first = F.col("du") <= F.col("dv")  # u < v already, so tie -> u
+    oriented = (
+        co.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
         )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    # wedge (x->y, x->z) with ord(y) < ord(z) in the (deg, id) order,
+    # closed by the oriented edge y->z
+    wedge_ord = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_ord)
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -356,10 +385,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_curriculum_interleave",
     oracle="""
-        WITH deciled AS (
-            SELECT doc_id,
-                   ntile(10) OVER (ORDER BY n_chars, doc_id) AS difficulty
+        WITH cuts AS (
+            SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                           0.6, 0.7, 0.8, 0.9]) AS c
             FROM documents
+        ), deciled AS (
+            SELECT d.doc_id,
+                   1 + len(list_filter(c, x -> d.n_chars > x))
+                       AS difficulty
+            FROM documents d CROSS JOIN cuts
         ), graded AS (
             SELECT doc_id, difficulty,
                    row_number() OVER (PARTITION BY difficulty
@@ -370,26 +404,50 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(row_number() OVER (ORDER BY within_rank, difficulty)
                     AS INT) AS curriculum_pos
         FROM graded
+        WHERE within_rank <= 100
         ORDER BY curriculum_pos
         LIMIT 100
     """,
     description="Curriculum interleave for training order: documents "
-    "are deciled by length (difficulty proxy, deterministic ntile "
-    "with doc_id tiebreak), then emitted round-robin across deciles "
-    "(ORDER BY within-decile-rank, decile) so every training window "
-    "sees the full difficulty mix. Deterministic global shuffle "
-    "without randomness — reproducible across engines and runs. At "
-    "scale the final total order is a range-partitioned sort on the "
-    "(within_rank, difficulty) pair, not a single-task sort.",
+    "are deciled by length (difficulty proxy) via exact percentile "
+    "CUTPOINTS broadcast to every row — not a global ntile(), whose "
+    "single-task total sort dies on the corpus grain at 100 TB. "
+    "Documents are then emitted round-robin across deciles (ORDER BY "
+    "within-decile-rank, decile) so every training window sees the "
+    "full difficulty mix; deterministic without randomness, "
+    "reproducible across engines and runs. Scale shape: the first "
+    "100 interleaved positions can only come from within-decile "
+    "ranks <= 100 (any rank-101+ row sorts after 100 earlier rows), "
+    "so the rank filter runs FIRST — Spark's WindowGroupLimit "
+    "map-side-prefilters each partition to its per-decile top-100 "
+    "before the decile shuffle — and the final total order runs on "
+    "the <= 10*100 surviving rows, bounded regardless of corpus "
+    "size. No unpartitioned window ever touches the full frame.",
 )
 def pipeline_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    graded = docs.select(
-        "doc_id",
-        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("difficulty"),
-    ).withColumn(
-        "within_rank",
-        F.row_number().over(Window.partitionBy("difficulty").orderBy("doc_id")),
+    cuts = docs.agg(
+        F.expr(
+            "percentile(n_chars, array(0.1D,0.2D,0.3D,0.4D,0.5D,"
+            "0.6D,0.7D,0.8D,0.9D))"
+        ).alias("c")
+    )
+    graded = (
+        docs.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            (
+                F.size(F.filter(F.col("c"), lambda x: F.col("n_chars") > x)) + 1
+            ).alias("difficulty"),
+        )
+        .withColumn(
+            "within_rank",
+            F.row_number().over(Window.partitionBy("difficulty").orderBy("doc_id")),
+        )
+        # literal rank bound -> WindowGroupLimit: each map task keeps
+        # only its local per-decile top-100, so the decile window never
+        # sees more than 100 * n_partitions rows per decile
+        .filter(F.col("within_rank") <= 100)
     )
     return (
         graded.select(

@@ -140,8 +140,12 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
     description="Rolling EXACT median (7-row trailing window) over the "
     "daily revenue series — robust smoothing that percentile sketches "
     "approximate; here the window is small so the exact sort-based "
-    "median is the right tool. Even-count windows average the two "
-    "middles with the same double add/halve in both engines. At scale "
+    "median is the right tool. PRECONDITION for oracle exactness: the "
+    "inputs are cent-exact doubles well under 2^53, where DuckDB's "
+    "even-frame (a+b)/2 and Spark's a+(b-a)*0.5 both evaluate exactly "
+    "and agree; on arbitrary doubles the two formulas can differ by "
+    "1 ulp, so this pattern must not be reused on non-decimal-backed "
+    "series without an explicit shared midpoint expression. At scale "
     "the series is per-key (partitionBy) and the frame stays "
     "constant-size, so state per window is O(7).",
 )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.selection import kth_smallest_multi
 from ..sources.tables import load_table
 from .registry import dec, query
 
@@ -83,17 +84,19 @@ def audit_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = base.filter(F.col("era") == "ref")
     # exact discrete quantiles (no interpolation): the k/N-quantile is
     # the value at 1-based rank ceil(k*n/N) in sorted order — matches
-    # DuckDB quantile_disc's definition on both engines
-    n_ref = ref.count()
-    ranked = ref.withColumn("r", F.row_number().over(Window.orderBy("x")))
+    # DuckDB quantile_disc's definition on both engines. The ranks are
+    # resolved by multi-rank histogram selection (one aggregation per
+    # refinement level for ALL nine edges together) — never a global
+    # row_number sort of the entity-grain frame. Prices are 2-decimal,
+    # so the integer-cents domain is exact, and cents/100.0 is the
+    # nearest double of the decimal = the stored parquet double.
+    cents_df = ref.select(
+        (F.col("x").cast("decimal(15,2)") * 100).cast("long").alias("__c")
+    )
+    n_ref = cents_df.count()
     cut_ranks = [-(-k * n_ref // N_BINS) for k in range(1, N_BINS)]  # ceil
-    edges = [
-        r.x
-        for r in ranked.filter(F.col("r").isin(cut_ranks))
-        .select("r", "x")
-        .orderBy("r")
-        .collect()
-    ]
+    rank_vals = kth_smallest_multi(cents_df, "__c", cut_ranks)
+    edges = [rank_vals[r] / 100.0 for r in cut_ranks]
     # dedupe while preserving rank association (duplicates possible on
     # repeated values — keep all N_BINS-1 edges as quantile_disc does)
     bin_expr = F.lit(1)

@@ -169,58 +169,89 @@ def weighted_median_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
         WITH rfm AS (
             SELECT o_custkey AS c,
-                   MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                   CAST(MAX(CAST(o_orderdate AS DATE))
+                        - DATE '1970-01-01' AS BIGINT) AS r_days,
                    COUNT(*) AS freq,
-                   SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS monetary
+                   SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS monetary,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100
+                        AS BIGINT) AS m_cents
             FROM orders GROUP BY 1
+        ), cuts AS (
+            SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rc,
+                   quantile_cont(freq,   [0.25, 0.5, 0.75]) AS fc,
+                   quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mc
+            FROM rfm
         ), scored AS (
             SELECT c, monetary,
-                   ntile(4) OVER (ORDER BY last_order DESC, c) AS r_score,
-                   ntile(4) OVER (ORDER BY freq DESC, c) AS f_score,
-                   ntile(4) OVER (ORDER BY monetary DESC, c) AS m_score
-            FROM rfm
+                   1 + len(list_filter(rc, x -> r_days <= x)) AS r_score,
+                   1 + len(list_filter(fc, x -> freq <= x)) AS f_score,
+                   1 + len(list_filter(mc, x -> m_cents <= x)) AS m_score
+            FROM rfm CROSS JOIN cuts
         )
-        SELECT r_score, f_score, m_score,
+        SELECT CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
                COUNT(*) AS n_customers,
-               round(CAST(SUM(monetary) AS DOUBLE)
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS avg_monetary
+               CAST(SUM(monetary) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_monetary
         FROM scored GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
     """,
     description="RFM customer scoring: per-customer recency/frequency/"
-    "monetary rollup, quartile scores via ntile over totally-ordered "
-    "keys (metric DESC, custkey tiebreak — score 1 = best quartile), "
-    "then the 4x4x4 segment-cell census with average spend. The "
-    "per-customer aggregate is the only fact-table shuffle; the three "
-    "ntile windows run on the much smaller customer grain. The "
-    "standard marketing-segmentation pass, expressed so every rank "
-    "is deterministic and engine-portable.",
+    "monetary rollup, quartile scores via exact percentile CUTPOINTS "
+    "broadcast to every customer row (score 1 = best quartile, value "
+    "strictly above the p75 cutpoint) — not a global ntile(), whose "
+    "unpartitioned total sort funnels every customer through one task "
+    "at 100 TB. All three metrics are scored in INTEGER domains "
+    "(epoch days / order count / cents), where both engines' "
+    "continuous-percentile interpolation (R-7, quarter fractions) is "
+    "bit-exact, so the cutpoint comparison is engine-portable with no "
+    "float ambiguity. Ties share a score — deterministic without any "
+    "tiebreak column. Then the 4x4x4 segment-cell census with average "
+    "spend; the per-customer aggregate is the only fact-table "
+    "shuffle.",
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("c")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("r_days"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(dec("o_totalprice")).alias("monetary"),
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("m_cents"),
     )
-    scored = rfm.select(
-        "c",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("c")))
-        .alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("c"))).alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("c")))
-        .alias("m_score"),
+    cuts = rfm.agg(
+        F.expr("percentile(r_days, array(0.25D, 0.5D, 0.75D))").alias("rc"),
+        F.expr("percentile(freq, array(0.25D, 0.5D, 0.75D))").alias("fc"),
+        F.expr("percentile(m_cents, array(0.25D, 0.5D, 0.75D))").alias("mc"),
     )
+
+    def score(metric: str, cut: str):
+        return (
+            F.size(F.filter(F.col(cut), lambda x: F.col(metric) <= x)) + 1
+        ).cast("int")
+
     return (
-        scored.groupBy("r_score", "f_score", "m_score")
+        rfm.crossJoin(F.broadcast(cuts))
+        .select(
+            "c",
+            "monetary",
+            score("r_days", "rc").alias("r_score"),
+            score("freq", "fc").alias("f_score"),
+            score("m_cents", "mc").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum("monetary").cast("double") / F.count(F.lit(1)).cast("double"),
-                6,
+            # raw IEEE quotient, no round(): identical operands give
+            # identical bits in both engines, while round-to-6 sits on
+            # a half-way boundary for some cells and the two engines'
+            # last-ulp behavior differs
+            (
+                F.sum("monetary").cast("double") / F.count(F.lit(1)).cast("double")
             ).alias("avg_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")

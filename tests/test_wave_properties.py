@@ -102,3 +102,22 @@ def test_kth_smallest_matches_sorted_order(spark, sf_dir):
     vals = sorted(r.c for r in df.collect())
     for k in (1, 7, len(vals) // 2, len(vals)):
         assert kth_smallest(df, "c", k) == vals[k - 1], k
+
+
+def test_kth_smallest_multi_resolves_all_ranks_together(spark, sf_dir):
+    from aws_healthcare_etl_pipeline_spark.operators.selection import (
+        kth_smallest_multi,
+    )
+    from aws_healthcare_etl_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long").alias("c")
+    )
+    vals = sorted(r.c for r in df.collect())
+    n = len(vals)
+    # all nine decile edges plus extremes, one shared histogram descent
+    ks = [1, n] + [-(-k * n // 10) for k in range(1, 10)]
+    got = kth_smallest_multi(df, "c", ks)
+    for k in ks:
+        assert got[k] == vals[k - 1], k
