@@ -201,6 +201,11 @@ _VERIFICATION_PRIORITY = [
     "join_null_safe_equality",
     "agg_listagg_ordered",
     "agg_bitwise_battery",
+    # --- wave 28 (round 3): new, never checked ---
+    "search_bm25_topk",
+    "pipeline_source_mixing_weights",
+    "events_ewma_daily_value",
+    "pipeline_length_bucket_padding",
 ]
 
 
