@@ -87,18 +87,26 @@ def edit_distance_candidates(
     # builds + hashes): widen a coarse-grained scan so it doesn't
     # serialize on one task; no-op on an already-wide production scan
     df = widen(df, id_col)
+    # Join on the variant's 64-bit hash with the block attributes
+    # FOLDED INTO the hash (xxhash64 is variadic): the join sides are
+    # (id, key) pairs — 16 bytes/row — instead of rows carrying the
+    # string + block + carry columns. A close pair shares ~2L deletion
+    # variants, so the raw join output has ~2L-fold multiplicity; r2
+    # deduplicated those as FULL-WIDTH rows, which made the distinct()
+    # the dominant shuffle at 10x scale (sf1 sweep: 31s, exp 1.22).
+    # Now the distinct runs on bare 16-byte id pairs and the side
+    # columns come back via two linear hash joins on the id. Hash
+    # collisions (including cross-block ones, now that blocks live
+    # inside the hash) only ADD candidates; block equality is
+    # re-checked below and the caller's verify rejects the rest.
+    block_args = "".join(f", {c}" for c in block_cols)
     keyed = df.select(
         id_col,
-        *side_cols,
-        # join on the variant's 64-bit hash, not the string: shuffles
-        # 8 bytes per key instead of ~L, dedupes with long compares
-        # instead of string compares, and a collision can only add a
-        # candidate the verify step then rejects
         F.explode(
             F.array_distinct(
                 F.expr(
                     f"transform({_deletion_variants_sql(str_col, k)},"
-                    f" v -> xxhash64(v))"
+                    f" v -> xxhash64(v{block_args}))"
                 )
             )
         ).alias("_key"),
@@ -106,19 +114,25 @@ def edit_distance_candidates(
     # both join sides read the same exploded frame; pin it so the
     # variant expansion runs once, not once per side
     keyed = keyed.localCheckpoint(eager=False)
-    a = keyed.select(
+    a = keyed.select(F.col(id_col).alias("_aid"), F.col("_key").alias("_akey"))
+    b = keyed.select(F.col(id_col).alias("_bid"), F.col("_key").alias("_bkey"))
+    pairs = (
+        a.join(b, (F.col("_akey") == F.col("_bkey")) & (F.col("_aid") < F.col("_bid")))
+        .select("_aid", "_bid")
+        .distinct()
+    )
+    a_side = df.select(
         F.col(id_col).alias(f"a_{id_col}"),
         *[F.col(c).alias(f"a_{c}") for c in side_cols],
-        F.col("_key").alias("_akey"),
     )
-    b = keyed.select(
+    b_side = df.select(
         F.col(id_col).alias(f"b_{id_col}"),
         *[F.col(c).alias(f"b_{c}") for c in side_cols],
-        F.col("_key").alias("_bkey"),
     )
-    join_cond = (F.col("_akey") == F.col("_bkey")) & (
-        F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
-    )
+    wide = pairs.join(
+        a_side, F.col("_aid") == F.col(f"a_{id_col}")
+    ).join(b_side, F.col("_bid") == F.col(f"b_{id_col}")).drop("_aid", "_bid")
+    # residual: blocks folded into the hash are only PROBABLY equal
     for c in block_cols:
-        join_cond = join_cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
-    return a.join(b, join_cond).drop("_akey", "_bkey").distinct()
+        wide = wide.filter(F.col(f"a_{c}") == F.col(f"b_{c}"))
+    return wide

@@ -64,13 +64,20 @@ def main() -> None:
         rows[name] = {"sf0.1": t01, "sf1": t1, "exp": exp}
         print(f"# {name}: sf0.1={t01:.2f}s sf1={t1:.2f}s exp={exp}", file=sys.stderr)
 
+    # merge into an existing sweep file so a targeted re-run of a few
+    # queries updates their rows instead of clobbering the full table
+    path = os.path.join(REPO, "SCALE_SWEEP.json")
+    merged = {}
+    if os.path.exists(path) and set(names) != set(HEADLINE):
+        with open(path) as f:
+            merged = json.load(f).get("queries", {})
+    merged.update(rows)
     out = {
         "protocol": f"warmup + min of {RUNS}, noop sink, local[*]",
-        "queries": rows,
-        "total_sf0.1": round(sum(r["sf0.1"] for r in rows.values()), 2),
-        "total_sf1": round(sum(r["sf1"] for r in rows.values()), 2),
+        "queries": merged,
+        "total_sf0.1": round(sum(r["sf0.1"] for r in merged.values()), 2),
+        "total_sf1": round(sum(r["sf1"] for r in merged.values()), 2),
     }
-    path = os.path.join(REPO, "SCALE_SWEEP.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"total_sf0.1": out["total_sf0.1"], "total_sf1": out["total_sf1"], "n": len(rows)}))
