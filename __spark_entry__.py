@@ -206,8 +206,9 @@ _VERIFICATION_PRIORITY = [
     "pipeline_source_mixing_weights",
     "events_ewma_daily_value",
     "pipeline_length_bucket_padding",
-    # --- wave 29 (round 3): new, never checked ---
+    # --- waves 29-30 (round 3): new, never checked ---
     "sim_sq_int8_topk",
+    "orders_running_total_distributed",
 ]
 
 

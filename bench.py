@@ -91,6 +91,12 @@ HEADLINE = [
     "approx_theta_set_algebra",
     "pipeline_training_export_e2e",
     "multimodal_chunk_dedup",
+    # round 3 additions
+    "search_bm25_topk",
+    "pipeline_source_mixing_weights",
+    "events_ewma_daily_value",
+    "pipeline_length_bucket_padding",
+    "sim_sq_int8_topk",
 ]
 
 

@@ -249,3 +249,23 @@ def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
         assert "SortMergeJoin" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_running_total_no_entity_grain_global_window(spark, sf_dir):
+    """distributed_running_total's contract: the only SinglePartition
+    exchange in the plan feeds the MONTH-grain spine (above the
+    HashAggregate), and the order-grain window is partitioned by the
+    month bucket — the entity-grain frame never funnels through one
+    task (the global-ordered-window scale-killer this operator
+    replaces)."""
+    plan = physical_plan(
+        REGISTRY["orders_running_total_distributed"].fn(spark, sf_dir)
+    )
+    # the within-bucket window is partitioned by _month
+    assert "windowspecdefinition(_month" in plan, plan
+    # exactly one single-partition exchange: the bounded month spine
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    tail = plan[plan.index("Exchange SinglePartition") :]
+    assert "HashAggregate(keys=[_month" in tail.split("Window", 1)[0] or (
+        "HashAggregate(keys=[_month" in tail
+    ), plan
