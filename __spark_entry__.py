@@ -206,9 +206,12 @@ _VERIFICATION_PRIORITY = [
     "pipeline_source_mixing_weights",
     "events_ewma_daily_value",
     "pipeline_length_bucket_padding",
-    # --- waves 29-30 (round 3): new, never checked ---
+    # --- waves 29-31 (round 3): new, never checked ---
     "sim_sq_int8_topk",
     "orders_running_total_distributed",
+    "dedup_method_agreement",
+    "sql_recursive_month_spine",
+    "sql_lateral_topn_per_nation",
 ]
 
 

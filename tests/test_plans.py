@@ -269,3 +269,15 @@ def test_running_total_no_entity_grain_global_window(spark, sf_dir):
     assert "HashAggregate(keys=[_month" in tail.split("Window", 1)[0] or (
         "HashAggregate(keys=[_month" in tail
     ), plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL ... ORDER BY ... LIMIT subquery must
+    plan as join + partitioned ranking window (one pass over
+    customer), never a per-outer-row re-execution."""
+    plan = physical_plan(
+        REGISTRY["sql_lateral_topn_per_nation"].fn(spark, sf_dir)
+    )
+    assert "row_number()" in plan, plan
+    assert "windowspecdefinition(c_nationkey" in plan, plan
+    assert "NestedLoop" not in plan, plan
