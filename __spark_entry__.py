@@ -212,6 +212,8 @@ _VERIFICATION_PRIORITY = [
     "dedup_method_agreement",
     "sql_recursive_month_spine",
     "sql_lateral_topn_per_nation",
+    "pipeline_incremental_dedup",
+    "graph_kcore_rounds",
 ]
 
 

@@ -138,3 +138,183 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum("is_t"), F.lit(1)).cast("double")
         ).alias("recall_"),
     )
+
+
+HIST_MOD = 10  # doc_id % 10 < 8 -> historical corpus, else incoming batch
+
+
+@query(
+    "pipeline_incremental_dedup",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, lang,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fp,
+                   CASE WHEN doc_id % {HIST_MOD} < 8 THEN 1 ELSE 0 END
+                       AS is_hist
+            FROM documents
+        ), hist AS (
+            SELECT DISTINCT fp FROM fp WHERE is_hist = 1
+        ), incoming AS (
+            SELECT doc_id, lang, fp.fp AS fp FROM fp WHERE is_hist = 0
+        ), cross_deduped AS (
+            SELECT i.* FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = i.fp)
+        ), kept AS (
+            SELECT lang, fp, MIN(doc_id) AS keeper
+            FROM cross_deduped GROUP BY lang, fp
+        )
+        SELECT i.lang,
+               COUNT(*) AS n_incoming,
+               COUNT(*) - COUNT(c.doc_id) AS n_dup_vs_history,
+               CAST(COUNT(c.doc_id) AS BIGINT)
+                   - (SELECT COUNT(*) FROM kept k WHERE k.lang = i.lang)
+                   AS n_dup_within,
+               (SELECT COUNT(*) FROM kept k WHERE k.lang = i.lang)
+                   AS n_kept
+        FROM incoming i
+        LEFT JOIN cross_deduped c ON c.doc_id = i.doc_id
+        GROUP BY i.lang
+        ORDER BY i.lang
+    """,
+    description="Incremental ingestion dedup — the shape a 100 TB "
+    "pipeline actually runs daily: the NEW batch (2 of 10 id-hash "
+    "shards here) is anti-joined against the HISTORICAL fingerprint "
+    "set (16-byte md5 keys only — history's text is never rescanned), "
+    "then deduplicated within-batch by min-doc_id-wins. Reports per "
+    "lang: incoming, dropped-vs-history, dropped-within, kept. The "
+    "anti-join shuffles fingerprints, not documents; at production "
+    "scale the history fingerprint table is bucketed by fp so the "
+    "daily batch joins with zero history shuffle (sources/bucketing "
+    "pattern). Counts are exact integers.",
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    hist = docs.filter(F.col("doc_id") % HIST_MOD < 8).select("fp").distinct()
+    incoming = docs.filter(F.col("doc_id") % HIST_MOD >= 8)
+    cross = incoming.join(hist, "fp", "left_anti")
+    kept = cross.groupBy("lang", "fp").agg(F.min("doc_id").alias("keeper"))
+    per_lang_kept = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    per_lang_cross = cross.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_cross")
+    )
+    per_lang_in = incoming.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_incoming")
+    )
+    return (
+        per_lang_in.join(per_lang_cross, "lang", "left")
+        .join(per_lang_kept, "lang", "left")
+        .select(
+            "lang",
+            "n_incoming",
+            (F.col("n_incoming") - F.coalesce("n_cross", F.lit(0))).alias(
+                "n_dup_vs_history"
+            ),
+            (
+                F.coalesce("n_cross", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_dup_within"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    parts = ["""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY pa, pb HAVING COUNT(*) >= 2
+        )"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f""", d{r} AS (
+            SELECT node, COUNT(*) AS c FROM (
+                SELECT pa AS node FROM e{r-1}
+                UNION ALL SELECT pb FROM e{r-1}
+            ) GROUP BY node
+        ), a{r} AS (
+            SELECT node FROM d{r} WHERE c >= {KCORE_K}
+        ), e{r} AS (
+            SELECT pa, pb FROM e{r-1}
+            WHERE pa IN (SELECT node FROM a{r})
+              AND pb IN (SELECT node FROM a{r})
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, "
+        f"(SELECT COUNT(*) FROM a{r}) AS n_nodes, "
+        f"(SELECT COUNT(*) FROM e{r}) AS n_edges"
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return "".join(parts) + " " + selects + " ORDER BY round"
+
+
+@query(
+    "graph_kcore_rounds",
+    oracle=_kcore_oracle(),
+    description=f"k-core peeling (k={KCORE_K}, {KCORE_ROUNDS} unrolled "
+    "rounds) on the part co-purchase graph (support >= 2 edges from "
+    "basket self-joins): each round drops nodes below degree k and "
+    "the edges they carried, reporting (round, surviving nodes, "
+    "surviving edges). The iterative-peeling shape that complements "
+    "pagerank (fixed-point value iteration) and connected components "
+    "(pointer jumping) in the graph tier: per round one node-keyed "
+    "degree aggregate + two semi-join edge filters — no global "
+    "structure on the driver, and the unrolled oracle proves every "
+    "round's frontier exactly. Production form loops until "
+    "fixpoint with localCheckpoint per round (operators/pagerank.py "
+    "pattern); the fixed unroll keeps the SQL oracle expressible.",
+)
+def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+    summaries = []
+    e = edges
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("pa").alias("node"))
+            .unionAll(e.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.filter(F.col("c") >= KCORE_K).select("node")
+        e = e.join(
+            alive.withColumnRenamed("node", "pa"), "pa", "left_semi"
+        ).join(alive.withColumnRenamed("node", "pb"), "pb", "left_semi")
+        summaries.append(
+            alive.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+                e.agg(F.count(F.lit(1)).alias("n_edges"))
+            ).select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
