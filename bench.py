@@ -97,6 +97,8 @@ HEADLINE = [
     "events_ewma_daily_value",
     "pipeline_length_bucket_padding",
     "sim_sq_int8_topk",
+    "orders_running_total_distributed",
+    "pipeline_incremental_dedup",
 ]
 
 

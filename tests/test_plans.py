@@ -281,3 +281,22 @@ def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
     assert "row_number()" in plan, plan
     assert "windowspecdefinition(c_nationkey" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """Global top-20 must plan as TakeOrderedAndProject (O(n) scan,
+    k-row transfer), and the df/corpus-stats sides must broadcast —
+    no sort-merge join anywhere in the scoring path."""
+    plan = physical_plan(REGISTRY["search_bm25_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sq_topk_uses_window_group_limit(spark, sf_dir):
+    """SQ ANN's per-query top-5 must pre-truncate map-side (Partial
+    WindowGroupLimit) so the shuffle carries <= k rows per query per
+    task; queries ride a broadcast, the corpus side never shuffles
+    embeddings."""
+    plan = physical_plan(REGISTRY["sim_sq_int8_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
