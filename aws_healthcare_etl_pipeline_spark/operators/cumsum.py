@@ -38,24 +38,29 @@ def distributed_running_total(
     bucket_col: str,
     order_cols: list[str],
     out_col: str = "running_total",
+    zero: Column | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = exact running sum of ``value`` over rows
     ordered by (bucket_col, *order_cols), without a global window.
 
     ``value`` must be an exact (DECIMAL/integral) expression;
     ``order_cols`` must make the global order total (tie-free) for a
-    deterministic result.
+    deterministic result. ``zero`` is the first bucket's carry-in and
+    must match SUM(value)'s type (default: decimal).
+
+    ``bucket_col`` must be a monotone function of the leading order
+    dimension (e.g. month of an ordered date) so that ordering by
+    (bucket, *order_cols) equals the intended global order.
     """
+    if zero is None:
+        zero = F.lit(0).cast("decimal(25,2)")
     sub = df.groupBy(bucket_col).agg(F.sum(value).alias("_bucket_sum"))
     spine = Window.orderBy(bucket_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
     carry = sub.select(
         bucket_col,
-        F.coalesce(
-            F.sum("_bucket_sum").over(spine),
-            F.lit(0).cast("decimal(25,2)"),
-        ).alias("_carry"),
+        F.coalesce(F.sum("_bucket_sum").over(spine), zero).alias("_carry"),
     )
     within = Window.partitionBy(bucket_col).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

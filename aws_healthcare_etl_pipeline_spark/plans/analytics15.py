@@ -192,13 +192,17 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t, matching the half-open interval — and the running sum at each "
     "START is the live concurrency, maxed per day. The classic "
     "max-overlap shape (rooms/connections/sessions) with no join: one "
-    "union, one ordered prefix sum. At scale the sweep partitions by "
-    "a coarse time bucket with carry-in offsets (documented in "
-    "SCALE.md); the per-day max is taken over event points, where "
-    "concurrency can change.",
+    "union, one prefix sum — computed by the two-level decomposition "
+    "(operators/cumsum.py, r3): day-bucket delta sums, carry-in over "
+    "the bounded day spine, day-PARTITIONED within-bucket windows. "
+    "The endpoint-grain frame never funnels through one task (r2 ran "
+    "the textbook single-partition sweep; the oracle still IS that "
+    "form, so the hash match proves the decomposition equal). "
+    "day = date(t) is monotone in t, so (day, t, delta, event_id) "
+    "order equals the global (t, delta, event_id) order.",
 )
 def concurrency_sweepline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.cumsum import distributed_running_total
 
     events = load_table(spark, sf_dir, "events")
     starts = events.select(
@@ -209,14 +213,18 @@ def concurrency_sweepline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
         "event_id",
     )
-    pts = starts.unionByName(ends)
-    w = Window.orderBy("t", "delta", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    pts = starts.unionByName(ends).withColumn("_day", F.col("t").cast("date"))
+    swept = distributed_running_total(
+        pts,
+        value=F.col("delta").cast("bigint"),
+        bucket_col="_day",
+        order_cols=["t", "delta", "event_id"],
+        out_col="live",
+        zero=F.lit(0).cast("bigint"),
     )
-    swept = pts.withColumn("live", F.sum("delta").over(w))
     return (
         swept.filter(F.col("delta") == 1)
-        .groupBy(F.col("t").cast("date").cast("timestamp").alias("day"))
+        .groupBy(F.col("_day").cast("timestamp").alias("day"))
         .agg(F.max("live").alias("max_concurrent"))
         .orderBy("day")
     )

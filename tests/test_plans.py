@@ -300,3 +300,14 @@ def test_sq_topk_uses_window_group_limit(spark, sf_dir):
     plan = physical_plan(REGISTRY["sim_sq_int8_topk"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sweepline_no_endpoint_grain_global_window(spark, sf_dir):
+    """r3: the sweep-line prefix sum uses the two-level decomposition —
+    the endpoint-grain window is partitioned by day; the only
+    SinglePartition exchange feeds the day-spine carry."""
+    plan = physical_plan(
+        REGISTRY["concurrency_sweepline_daily"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition(_day" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
