@@ -97,19 +97,37 @@ def customer_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Sequence-integrity audit of the sparse orderkey "
     "domain: contiguous-run census (island count, longest run, "
-    "present keys, holes inside the observed span) via the same "
-    "rank-difference trick at global scope. The ordered window runs "
-    "on the distinct key column only — at 100 TB that's still one "
-    "8-byte column, range-partitioned sort, and the audit answers "
-    "'did ingestion drop a key range' without joining against a "
-    "generated spine of the full domain.",
+    "present keys, holes inside the observed span) via the "
+    "rank-difference trick, with the global rank computed by the "
+    "two-level decomposition (operators/cumsum.py over key-range "
+    "buckets) — per-bucket partitioned windows plus a bounded "
+    "bucket-spine carry, never a single-task sort of the key column. "
+    "The audit answers 'did ingestion drop a key range' without "
+    "joining against a generated spine of the full domain.",
 )
 def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cumsum import distributed_running_total
+
     orders = load_table(spark, sf_dir, "orders")
     keys = orders.select(F.col("o_orderkey").alias("k")).distinct()
-    grouped = keys.select(
-        "k", (F.col("k") - F.row_number().over(Window.orderBy("k"))).alias("island")
+    # rank-difference islands with the rank computed by the two-level
+    # decomposition (r3): row_number over an unpartitioned window was
+    # a single-task sort of the whole key column; running COUNT via
+    # key-range buckets (floor(k / 2^17), monotone in k) is the same
+    # rank, computed with partitioned per-bucket windows + a bounded
+    # bucket-spine carry.
+    bucketed = keys.withColumn(
+        "_kb", F.floor(F.col("k") / F.lit(1 << 17)).cast("bigint")
     )
+    ranked = distributed_running_total(
+        bucketed,
+        value=F.lit(1).cast("bigint"),
+        bucket_col="_kb",
+        order_cols=["k"],
+        out_col="_rn",
+        zero=F.lit(0).cast("bigint"),
+    )
+    grouped = ranked.select("k", (F.col("k") - F.col("_rn")).alias("island"))
     islands = grouped.groupBy("island").agg(
         F.count(F.lit(1)).alias("run_len"),
         F.min("k").alias("run_start"),

@@ -393,7 +393,8 @@ SKEW_TOP_K = 3
     "skew_ratio far above 1 is the signal to salt (operators/skew.py) "
     "or rely on AQE skew-join splitting. One map-side-combined count "
     "per key, then a tiny two-branch reduce; the heavy-hitter list is "
-    "row_number-bounded before any collection.",
+    "TakeOrdered-bounded (K-row heaps per task, no unpartitioned "
+    "window) before any collection.",
 )
 def skew_profile_supplier_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -405,18 +406,21 @@ def skew_profile_supplier_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("total_rows"),
         F.max("cnt").alias("max_rows_per_key"),
     )
+    # top-K via orderBy+limit (TakeOrderedAndProject — O(n) scan with
+    # K-row heaps per task, r3) instead of row_number over an
+    # unpartitioned window, which funneled the key-grain aggregate
+    # through one task; ordering restored inside the K-row array by
+    # sorting on (-cnt, k)
     top = (
-        per_key.select(
-            "k",
-            "cnt",
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("k"))).alias("rn"),
-        )
-        .filter(F.col("rn") <= SKEW_TOP_K)
+        per_key.orderBy(F.desc("cnt"), F.asc("k"))
+        .limit(SKEW_TOP_K)
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("rn"), F.col("k"), F.col("cnt")))
+                        F.collect_list(
+                            F.struct((-F.col("cnt")).alias("nc"), F.col("k"), F.col("cnt"))
+                        )
                     ),
                     lambda s: F.concat_ws(":", s["k"], s["cnt"]),
                 ),

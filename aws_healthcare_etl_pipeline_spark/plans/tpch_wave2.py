@@ -12,7 +12,7 @@ plans/registry.py so hashes are engine- and order-insensitive.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -152,13 +152,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
     )
-    # rank-based max-with-ties: one window over the small aggregated
-    # frame instead of a second scan + cross join for the scalar MAX
-    w = Window.orderBy(F.col("total_revenue").desc())
+    # max-with-ties via a 1-row aggregate broadcast back onto the
+    # revenue frame (r3): rank() over an unpartitioned window funnels
+    # the whole supplier-grain aggregate through one task; the
+    # max+filter form is two parallel passes and keeps ties exactly
+    # (equality of identical doubles)
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     top = (
-        revenue.withColumn("__rnk", F.rank().over(w))
-        .filter(F.col("__rnk") == 1)
-        .drop("__rnk")
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .drop("__mx")
     )
     return (
         supp.join(top, supp.s_suppkey == top.supplier_no)

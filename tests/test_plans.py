@@ -168,11 +168,13 @@ def test_money_allocation_windows_share_one_exchange(spark, sf_dir):
     assert plan.count("hashpartitioning(l_orderkey") == 1, plan
 
 
-def test_pareto_frontier_shares_one_sort(spark, sf_dir):
+def test_pareto_frontier_no_dominance_join(spark, sf_dir):
     plan = physical_plan(REGISTRY["pareto_frontier_parts"].fn(spark, sf_dir))
-    # the strictly-smaller RANGE window and the per-size partition min
-    # both key on p_size; no join, no pairwise dominance blowup
-    assert "Join" not in plan, plan
+    # windows + a broadcast carry join — never a pairwise dominance
+    # join (r3: the carry join replaced the global RANGE window, so
+    # one small BroadcastHashJoin on the bucket key is expected)
+    assert "NestedLoop" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_attribution_range_join_is_hash_not_nlj(spark, sf_dir):
@@ -310,4 +312,30 @@ def test_sweepline_no_endpoint_grain_global_window(spark, sf_dir):
         REGISTRY["concurrency_sweepline_daily"].fn(spark, sf_dir)
     )
     assert "windowspecdefinition(_day" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_r3_global_window_rewrites(spark, sf_dir):
+    """r3 sweep: the four remaining entity-grain unpartitioned windows
+    were decomposed/replaced — pin each plan shape."""
+    # q15: max-with-ties via 1-row broadcast, no ranking window
+    plan = physical_plan(REGISTRY["q15_top_supplier"].fn(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    # skew profile: TakeOrdered top-K, no ranking window
+    plan = physical_plan(REGISTRY["skew_profile_supplier_keys"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    # gap islands: rank via bucketed running count; single-partition
+    # exchanges only for the bucket spine or scalar (keys=[]) partials
+    plan = physical_plan(REGISTRY["orderkey_gap_islands"].fn(spark, sf_dir))
+    assert "windowspecdefinition(_kb" in plan, plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg[:400]
+        assert (
+            "HashAggregate(keys=[]" in head  # scalar partials
+            or "HashAggregate(keys=[_kb" in head  # bucket spine
+        ), plan
+    # pareto frontier: bucket-partitioned strictly-smaller scan
+    plan = physical_plan(REGISTRY["pareto_frontier_parts"].fn(spark, sf_dir))
+    assert "windowspecdefinition(_xb" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
