@@ -214,6 +214,7 @@ _VERIFICATION_PRIORITY = [
     "sql_lateral_topn_per_nation",
     "pipeline_incremental_dedup",
     "graph_kcore_rounds",
+    "format_fixed_width_ingest",
 ]
 
 

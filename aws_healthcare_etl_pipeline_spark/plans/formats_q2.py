@@ -283,3 +283,54 @@ def format_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("note")).alias("total_note_chars"),
         F.sum("price").cast("double").alias("total_price"),
     )
+
+
+@query(
+    "format_fixed_width_ingest",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        FROM orders
+        WHERE o_orderkey < 3000
+        GROUP BY o_orderstatus
+        ORDER BY status
+    """,
+    description="Fixed-width (mainframe-export) text lane: order rows "
+    "serialize to 25-byte fixed-position records (orderkey lpad 12, "
+    "status 1, price-in-cents lpad 12), write through the text sink, "
+    "re-read and parse by column OFFSETS — substring projections, no "
+    "regex, no UDF, fully inside codegen — then re-aggregate. The "
+    "round-trip must reproduce the raw-column aggregation exactly "
+    "(cents stay integers end-to-end, so the re-parsed sum is exact). "
+    "This is the one legacy interchange format healthcare/finance "
+    "feeds still arrive in; fixed-width text splits by line offset, "
+    "so a 100 TB feed scans as parallel as CSV, and offset parsing "
+    "is cheaper than CSV's quote/escape state machine.",
+)
+def format_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    lines = orders.select(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.col("o_orderstatus"),
+            F.lpad(cents.cast("string"), 12, "0"),
+        ).alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="fixedw_")
+    lines.write.mode("overwrite").text(f"{base}/records")
+    back = spark.read.text(f"{base}/records")
+    parsed = back.select(
+        F.substring("value", 13, 1).alias("status"),
+        F.substring("value", 14, 12).cast("bigint").alias("cents"),
+    )
+    return (
+        parsed.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("total_price"),
+        )
+        .orderBy("status")
+    )
