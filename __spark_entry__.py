@@ -215,6 +215,8 @@ _VERIFICATION_PRIORITY = [
     "pipeline_incremental_dedup",
     "graph_kcore_rounds",
     "format_fixed_width_ingest",
+    "pipeline_corpus_card",
+    "token_simpson_diversity_by_lang",
 ]
 
 
