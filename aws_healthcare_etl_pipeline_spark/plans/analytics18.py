@@ -250,7 +250,12 @@ EWMA_LAGS = 13  # trailing window; lambda = 1/2 per day
     "both engines); no pow(), no order-dependent double sum. The "
     "heavy table reduces through one partial-agg shuffle to the "
     "(type x day) grain; the ordered window runs on that bounded "
-    "calendar spine, the scale-sanctioned place for one (SCALE.md).",
+    "calendar spine, the scale-sanctioned place for one (SCALE.md). "
+    "CONTRACT: day_idx must stay below 63 (int64 shift) and frame "
+    "sums below 2^63 — holds for the 30-day fixture at any SF; a "
+    "longer span re-bases day_idx to the frame's oldest day "
+    "(day_idx - min over the frame), which the same window sums "
+    "support.",
 )
 def events_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

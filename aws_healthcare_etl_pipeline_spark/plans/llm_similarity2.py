@@ -90,7 +90,11 @@ SQ_TOP_K = 5
     "materialized arrays (HOF contract: attribute references only); "
     "top-k is WindowGroupLimit-capped. At production scale the codes "
     "column is precomputed at ingest and only the scan+score run per "
-    "query batch.",
+    "query batch. Self-exclusion (vec_id <> query_id) is correct "
+    "here BY CONTRACT because the queries are drawn from the corpus "
+    "id space (first 10 vectors); with a disjoint query id space "
+    "drop the predicate (the pq_top_k exclude_self discussion "
+    "applies).",
 )
 def sim_sq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

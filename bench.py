@@ -99,6 +99,9 @@ HEADLINE = [
     "sim_sq_int8_topk",
     "orders_running_total_distributed",
     "pipeline_incremental_dedup",
+    "format_fixed_width_ingest",
+    "pipeline_corpus_card",
+    "token_simpson_diversity_by_lang",
 ]
 
 
