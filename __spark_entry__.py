@@ -217,6 +217,7 @@ _VERIFICATION_PRIORITY = [
     "format_fixed_width_ingest",
     "pipeline_corpus_card",
     "token_simpson_diversity_by_lang",
+    "emb_knn_label_accuracy",
 ]
 
 

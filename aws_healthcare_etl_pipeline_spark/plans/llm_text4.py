@@ -157,3 +157,109 @@ def token_simpson_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+KNN_QUERIES = 100
+KNN_K = 5
+
+
+@query(
+    "emb_knn_label_accuracy",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                   label AS true_label
+            FROM embeddings WHERE vec_id < {KNN_QUERIES}
+        ), c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+            FROM embeddings
+        ), scored AS (
+            SELECT query_id, vec_id, c.label,
+                   list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))) AS cosine
+            FROM q, c WHERE vec_id <> query_id
+        ), nn AS (
+            SELECT query_id, vec_id, label
+            FROM (
+                SELECT query_id, vec_id, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= {KNN_K}
+        ), votes AS (
+            SELECT query_id, label, COUNT(*) AS c
+            FROM nn GROUP BY query_id, label
+        ), pred AS (
+            SELECT query_id, label AS pred_label
+            FROM (
+                SELECT query_id, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, label
+                       ) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        )
+        SELECT true_label,
+               COUNT(*) AS n_queries,
+               CAST(SUM(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM q JOIN pred USING (query_id)
+        GROUP BY true_label
+        ORDER BY true_label
+    """,
+    description=f"Embedding-quality evaluation: leave-one-out {KNN_K}-NN "
+    f"label prediction for the first {KNN_QUERIES} vectors (majority "
+    "vote, ties to the smallest label), reported as per-class "
+    "accuracy — the standard sanity harness run before trusting an "
+    "embedding space for dedup/search. Composes the portable "
+    "brute-force cosine top-k (operators/similarity.py — broadcast "
+    "queries, WindowGroupLimit) with two small ranked aggregations; "
+    "the oracle replicates every cosine bit-for-bit (left-to-right "
+    "fold parity), so accuracy hash-matches exactly. At 100 TB the "
+    "same harness rides any ANN tier (LSH/IVF/PQ/SQ) in place of "
+    "brute force; the eval set is small by construction.",
+)
+def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("true_label"),
+    )
+    nn = brute_force_top_k(emb, queries_df, k=KNN_K)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nn.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return (
+        queries_df.select("query_id", "true_label")
+        .join(pred, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            correct.cast("bigint").alias("n_correct"),
+            (correct.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label")
+    )
