@@ -218,6 +218,7 @@ _VERIFICATION_PRIORITY = [
     "pipeline_corpus_card",
     "token_simpson_diversity_by_lang",
     "emb_knn_label_accuracy",
+    "streaming_daily_distinct_users",
 ]
 
 
