@@ -219,6 +219,7 @@ _VERIFICATION_PRIORITY = [
     "token_simpson_diversity_by_lang",
     "emb_knn_label_accuracy",
     "streaming_daily_distinct_users",
+    "orders_cohort_ltv_triangle",
 ]
 
 

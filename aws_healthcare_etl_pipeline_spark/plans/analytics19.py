@@ -318,3 +318,79 @@ def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionAll(s)
     return out.orderBy("round")
+
+
+@query(
+    "orders_cohort_ltv_triangle",
+    oracle="""
+        WITH first_month AS (
+            SELECT o_custkey,
+                   MIN(date_trunc('month', o_orderdate)) AS cohort
+            FROM orders GROUP BY o_custkey
+        ), facts AS (
+            SELECT f.cohort,
+                   (year(o.o_orderdate) - year(f.cohort)) * 12
+                       + (month(o.o_orderdate) - month(f.cohort)) AS age,
+                   CAST(o.o_totalprice AS DECIMAL(15,2)) AS rev
+            FROM orders o JOIN first_month f ON o.o_custkey = f.o_custkey
+        ), cells AS (
+            SELECT cohort, age,
+                   SUM(rev) AS rev_m,
+                   COUNT(*) AS n_orders
+            FROM facts GROUP BY cohort, age
+        )
+        SELECT cohort::TIMESTAMP AS cohort, CAST(age AS INT) AS age,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(rev_m AS DOUBLE) AS month_revenue,
+               CAST(SUM(rev_m) OVER (
+                   PARTITION BY cohort ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cumulative_revenue
+        FROM cells
+        ORDER BY cohort, age
+    """,
+    description="Customer-lifetime-value triangle: customers cohort by "
+    "first-order month, every order lands in a (cohort, age-in-months) "
+    "cell, and cumulative revenue accrues along each cohort's row — "
+    "the table every growth/finance review reads. Plan: first-month "
+    "is one partial-agg shuffle on custkey joined back (hash join on "
+    "the key, no window); the heavy frame reduces to the bounded "
+    "(cohort x age) grid (~80x80 cells at any data size) BEFORE the "
+    "cumulative window runs, so the ordered window touches the grid, "
+    "never order rows — the reduce-then-window grammar. Exact "
+    "decimal sums throughout; the cumulative is a decimal sum cast "
+    "once to double.",
+)
+def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    first_month = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    facts = orders.join(first_month, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        ).alias("age"),
+        dec("o_totalprice").alias("rev"),
+    )
+    cells = facts.groupBy("cohort", "age").agg(
+        F.sum("rev").alias("rev_m"), F.count(F.lit(1)).alias("n_orders")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.select(
+            "cohort",
+            F.col("age").cast("int").alias("age"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("rev_m").cast("double").alias("month_revenue"),
+            F.sum("rev_m").over(w).cast("double").alias("cumulative_revenue"),
+        )
+        .orderBy("cohort", "age")
+    )
