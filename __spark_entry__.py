@@ -220,6 +220,7 @@ _VERIFICATION_PRIORITY = [
     "emb_knn_label_accuracy",
     "streaming_daily_distinct_users",
     "orders_cohort_ltv_triangle",
+    "supplier_hhi_by_part_type",
 ]
 
 

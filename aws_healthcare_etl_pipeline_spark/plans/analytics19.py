@@ -394,3 +394,64 @@ def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age")
     )
+
+
+@query(
+    "supplier_hhi_by_part_type",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_type, l.l_suppkey,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * 100)
+                        AS BIGINT) AS cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type, l.l_suppkey
+        ), tot AS (
+            SELECT p_type, SUM(cents) AS total_cents FROM rev GROUP BY p_type
+        ), shares AS (
+            SELECT r.p_type,
+                   (r.cents * 1000000) // t.total_cents AS ppm
+            FROM rev r JOIN tot t ON r.p_type = t.p_type
+        )
+        SELECT p_type,
+               COUNT(*) AS n_suppliers,
+               CAST(MAX(ppm) AS BIGINT) AS top_share_ppm,
+               CAST(SUM(ppm * ppm) AS DOUBLE) / 1000000000000.0 AS hhi
+        FROM shares
+        GROUP BY p_type
+        ORDER BY p_type
+    """,
+    description="Herfindahl-Hirschman supplier-concentration index per "
+    "part type: revenue shares in exact integer parts-per-million "
+    "(floor division of cents — no double summation anywhere), HHI = "
+    "sum(ppm^2)/1e12 with one final division. The "
+    "market-concentration companion to the Gini/Pareto tier: HHI "
+    "moves with squared shares, so a type served by one dominant "
+    "supplier scores near 1 while even splits score near 1/n. Two "
+    "partial-agg shuffles ((type, supplier) then type) after a "
+    "broadcast part join; all integers stay below 2^53.",
+)
+def supplier_hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg((F.sum(dec("l_extendedprice")) * 100).cast("bigint").alias("cents"))
+    )
+    tot = rev.groupBy("p_type").agg(F.sum("cents").alias("total_cents"))
+    shares = rev.join(tot, "p_type").select(
+        "p_type",
+        F.expr("(cents * 1000000) div total_cents").alias("ppm"),
+    )
+    return (
+        shares.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.max("ppm").cast("bigint").alias("top_share_ppm"),
+            (
+                F.sum(F.col("ppm") * F.col("ppm")).cast("double")
+                / F.lit(1_000_000_000_000.0)
+            ).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )
