@@ -221,6 +221,7 @@ _VERIFICATION_PRIORITY = [
     "streaming_daily_distinct_users",
     "orders_cohort_ltv_triangle",
     "supplier_hhi_by_part_type",
+    "events_interarrival_stats",
 ]
 
 

@@ -455,3 +455,70 @@ def supplier_hhi_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, ts, user_id,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+            FROM seq WHERE prev_ts IS NOT NULL
+        )
+        SELECT event_type,
+               COUNT(*) AS n_gaps,
+               CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   / 1000000.0 AS mean_gap_seconds,
+               CAST(MIN(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_seconds,
+               CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_seconds
+        FROM gaps
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="User-cadence inter-arrival analysis: per-user event "
+    "sequences (lag window PARTITIONED by user — entity-partitioned, "
+    "externally spillable) yield gaps in exact epoch microseconds, "
+    "aggregated per the later event's type. All sums are int64 "
+    "(microsecond gaps; the int64->double conversion is "
+    "round-to-nearest in both engines) with final divisions only. "
+    "The cadence profile that drives session-gap threshold choices "
+    "(sessionize_user_events' 30-minute gap) and bot detection "
+    "(impossibly small minimum gaps).",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    gaps = seq.filter(F.col("prev_ts").isNotNull()).select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (
+                F.sum("gap_us").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("mean_gap_seconds"),
+            (F.min("gap_us").cast("double") / F.lit(1_000_000.0)).alias(
+                "min_gap_seconds"
+            ),
+            (F.max("gap_us").cast("double") / F.lit(1_000_000.0)).alias(
+                "max_gap_seconds"
+            ),
+        )
+        .orderBy("event_type")
+    )
