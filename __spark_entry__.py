@@ -222,6 +222,7 @@ _VERIFICATION_PRIORITY = [
     "orders_cohort_ltv_triangle",
     "supplier_hhi_by_part_type",
     "events_interarrival_stats",
+    "text_vocab_growth_curve",
 ]
 
 

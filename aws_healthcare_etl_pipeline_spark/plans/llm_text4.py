@@ -263,3 +263,69 @@ def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+HEAPS_CHECKPOINTS = [100, 500, 1000, 2500, 5000]
+_HEAPS_VALUES = ", ".join(f"({n})" for n in HEAPS_CHECKPOINTS)
+
+
+@query(
+    "text_vocab_growth_curve",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents
+        ), first_seen AS (
+            SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY token
+        ), doclen AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+            FROM documents
+        ), ns(n) AS (VALUES {_HEAPS_VALUES})
+        SELECT n AS n_docs,
+               (SELECT CAST(SUM(CASE WHEN fd < n THEN 1 ELSE 0 END) AS BIGINT)
+                FROM first_seen) AS distinct_tokens,
+               (SELECT CAST(SUM(CASE WHEN doc_id < n THEN nt ELSE 0 END)
+                            AS BIGINT)
+                FROM doclen) AS total_tokens
+        FROM ns
+        ORDER BY n_docs
+    """,
+    description="Heaps-law vocabulary-growth curve: distinct-token and "
+    "total-token counts at corpus prefixes of 100/500/1k/2.5k/5k "
+    "docs — the scaling diagnostic behind tokenizer vocab sizing "
+    "(does the vocabulary saturate or keep growing with data?). "
+    "Computed in ONE pass, not five rescans: each token reduces to "
+    "its first-occurrence doc id, and every checkpoint is a "
+    "conditional sum over that (token-grain) frame — the same "
+    "trick turns any prefix-cumulative 'growth curve' into a single "
+    "aggregation at 100 TB. Exact integer counts only.",
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    doclen = docs.select("doc_id", token_count(F.col("text")).alias("nt"))
+    ns = F.explode(
+        F.array(*[F.lit(n) for n in HEAPS_CHECKPOINTS])
+    ).alias("n_docs")
+    vocab = (
+        first_seen.select(ns, "fd")
+        .groupBy("n_docs")
+        .agg(
+            F.sum(F.when(F.col("fd") < F.col("n_docs"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("distinct_tokens")
+        )
+    )
+    totals = (
+        doclen.select(ns, "doc_id", "nt")
+        .groupBy("n_docs")
+        .agg(
+            F.sum(F.when(F.col("doc_id") < F.col("n_docs"), F.col("nt")).otherwise(0))
+            .cast("bigint")
+            .alias("total_tokens")
+        )
+    )
+    return vocab.join(totals, "n_docs").orderBy("n_docs")
