@@ -223,6 +223,7 @@ _VERIFICATION_PRIORITY = [
     "supplier_hhi_by_part_type",
     "events_interarrival_stats",
     "text_vocab_growth_curve",
+    "events_burstiness_index",
 ]
 
 

@@ -329,3 +329,56 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return vocab.join(totals, "n_docs").orderBy("n_docs")
+
+
+@query(
+    "events_burstiness_index",
+    oracle="""
+        WITH per_min AS (
+            SELECT event_type, date_trunc('minute', ts) AS m,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_minutes,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_per_min,
+               (CAST(SUM(c * c) AS DOUBLE)
+                - CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE))
+               / CAST(COUNT(*) AS DOUBLE)
+               / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS fano_factor
+        FROM per_min
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Traffic burstiness per event type: the Fano factor "
+    "(variance-to-mean ratio of per-minute counts) — 1 for a Poisson "
+    "arrival process, >1 for bursty traffic; the number capacity "
+    "planning and anomaly-baseline work starts from. Variance comes "
+    "from exact integer sums (sum c, sum c^2, n — all < 2^53) with "
+    "deterministic double divisions at the end, so it hash-matches "
+    "without any DECIMAL machinery. One partial-agg shuffle to the "
+    "(type x minute) grain, then a type-grain reduce.",
+)
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_min = events.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.count(F.lit(1)).cast("double")
+    sc = F.sum("c").cast("double")
+    sc2 = F.sum(F.col("c") * F.col("c")).cast("double")
+    mean = sc / n
+    return (
+        per_min.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            mean.alias("mean_per_min"),
+            ((sc2 - sc * sc / n) / n / (sc / n)).alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )
