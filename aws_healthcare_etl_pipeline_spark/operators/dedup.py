@@ -529,9 +529,15 @@ def ngram_jaccard_pairs(
             F.array_distinct(F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
         ).alias("hs"),
     ).withColumn("n_sh", F.size("hs"))
-    # k=2 multi-prefix: one extra element buys the shared-count filter
+    # k=2 multi-prefix: one extra element buys the shared-count filter.
+    # Same 1e-9 guard as alpha/o_req below: if the double product rounds
+    # strictly above an exact-integer t*n the unguarded ceil would shorten
+    # the prefix by one while o_req keeps the tighter bound — a recall
+    # hole. The slack means float rounding can only LENGTHEN the prefix.
     prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 2
+        F.col("n_sh")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+        + 2
     ).cast("int")
     prefixes = hashed.select(
         "doc_id",

@@ -14,9 +14,11 @@ The strictly-smaller-x minimum is computed like the running totals in
 function of x (default: x itself — right for discrete domains like
 sizes/grades; pass ``x_bucket=floor(x/w)`` for continuous x), bucket
 minima form a bounded spine whose exclusive running min is each
-bucket's carry-in, and a bucket-PARTITIONED range window covers
-strictly-smaller x within the bucket. r2 ran one unpartitioned
-RANGE window over the full frame — a single-task sort at scale.
+bucket's carry-in, and a bucket-partitioned ROWS window over the
+DISTINCT-x grain covers strictly-smaller x within the bucket — exact
+for any ordered x type, integer or continuous. r2 ran one
+unpartitioned RANGE window over the full frame — a single-task sort
+at scale.
 """
 
 from __future__ import annotations
@@ -39,15 +41,26 @@ def pareto_frontier_2d(
     sub = pts.groupBy("_xb").agg(F.min(y).alias("_m"))
     spine = Window.orderBy("_xb").rowsBetween(Window.unboundedPreceding, -1)
     carry = sub.select("_xb", F.min("_m").over(spine).alias("_carry"))
+    # Within-bucket strictly-smaller-x minimum on the DISTINCT-x grain:
+    # after the (bucket, x) groupBy each partition holds one row per x
+    # value, so a ROWS frame ending at -1 is exactly {x' < x} for ANY
+    # ordered x type. (A rangeBetween(..., -1) offset frame is only
+    # equivalent on integer-valued x — with a continuous x and
+    # x_bucket=floor(x/w), same-bucket dominators at x-1 < x' < x would
+    # slip through the offset frame.)
+    xgrain = pts.groupBy("_xb", x).agg(F.min(y).alias("_xm"))
     within = (
         Window.partitionBy("_xb")
         .orderBy(x)
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    smaller = xgrain.select(
+        "_xb", x, F.min("_xm").over(within).alias("_in_bucket")
     )
     same_x = Window.partitionBy(x)
     ranked = (
         pts.join(F.broadcast(carry), "_xb")
-        .withColumn("_in_bucket", F.min(y).over(within))
+        .join(smaller, ["_xb", x])
         .withColumn("_best_same", F.min(y).over(same_x))
     )
     # least() skips NULLs (empty carry for the first bucket / empty

@@ -214,13 +214,18 @@ EWMA_LAGS = 13  # trailing window; lambda = 1/2 per day
         WITH daily AS (
             SELECT event_type,
                    CAST(ts AS DATE) AS day,
-                   date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                       AS day_idx,
                    CAST(SUM(CAST(value AS DECIMAL(15,2))) * 100 AS BIGINT)
                        AS v_cents
             FROM events
-            GROUP BY event_type, CAST(ts AS DATE),
-                     date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+            GROUP BY event_type, CAST(ts AS DATE)
+        ), anchored AS (
+            SELECT event_type, day, v_cents,
+                   date_diff('day',
+                             MIN(day) OVER (PARTITION BY event_type),
+                             day) AS day_idx
+            FROM daily
+        ), bounded AS (
+            SELECT * FROM anchored WHERE day_idx <= 62
         ), win AS (
             SELECT event_type, day, v_cents,
                    SUM(v_cents * (CAST(1 AS BIGINT) << day_idx)) OVER (
@@ -231,7 +236,7 @@ EWMA_LAGS = 13  # trailing window; lambda = 1/2 per day
                        PARTITION BY event_type ORDER BY day
                        ROWS BETWEEN {EWMA_LAGS} PRECEDING AND CURRENT ROW
                    ) AS s_den
-            FROM daily
+            FROM bounded
         )
         SELECT event_type, day::TIMESTAMP AS day,
                CAST(CAST(v_cents AS DOUBLE) / 100.0 AS DOUBLE) AS daily_value,
@@ -251,11 +256,14 @@ EWMA_LAGS = 13  # trailing window; lambda = 1/2 per day
     "heavy table reduces through one partial-agg shuffle to the "
     "(type x day) grain; the ordered window runs on that bounded "
     "calendar spine, the scale-sanctioned place for one (SCALE.md). "
-    "CONTRACT: day_idx must stay below 63 (int64 shift) and frame "
-    "sums below 2^63 — holds for the 30-day fixture at any SF; a "
-    "longer span re-bases day_idx to the frame's oldest day "
-    "(day_idx - min over the frame), which the same window sums "
-    "support.",
+    "CONTRACT (enforced in code, not prose): day_idx anchors to each "
+    "type's own first observed day — computed on the bounded daily "
+    "spine, so negative shifts are impossible on any input dates — "
+    "and days past anchor+62 are excluded before the window in BOTH "
+    "engines (int64 shift domain; Spark masks shifts mod 64, DuckDB "
+    "doesn't, so an unguarded overflow would diverge silently, not "
+    "loudly). Spans beyond 63 days would segment-re-anchor in "
+    "production; the exclusion keeps the cross-engine hash honest.",
 )
 def events_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -263,14 +271,15 @@ def events_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(
             "event_type",
             F.col("ts").cast("date").alias("day"),
-            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
-                "day_idx"
-            ),
             dec("value").alias("v"),
         )
-        .groupBy("event_type", "day", "day_idx")
+        .groupBy("event_type", "day")
         .agg((F.sum("v") * 100).cast("bigint").alias("v_cents"))
     )
+    anchor = Window.partitionBy("event_type")
+    daily = daily.withColumn(
+        "day_idx", F.datediff(F.col("day"), F.min("day").over(anchor))
+    ).filter(F.col("day_idx") <= F.lit(62))
     frame = (
         Window.partitionBy("event_type")
         .orderBy("day")

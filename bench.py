@@ -102,6 +102,15 @@ HEADLINE = [
     "format_fixed_width_ingest",
     "pipeline_corpus_card",
     "token_simpson_diversity_by_lang",
+    # round 4 additions: the heavy/iterative wave 30-37 queries
+    "emb_knn_label_accuracy",
+    "graph_kcore_rounds",
+    "sql_recursive_month_spine",
+    "sql_lateral_topn_per_nation",
+    "orders_cohort_ltv_triangle",
+    "dedup_method_agreement",
+    "text_vocab_growth_curve",
+    "events_burstiness_index",
 ]
 
 
@@ -119,6 +128,11 @@ def main() -> None:
             "spark.ui.showConsoleProgress": "false",
         },
     )
+    # Bounded-spine windows legitimately run unpartitioned (see
+    # SCALE.md) and each emits a "WindowExec: No Partition Defined"
+    # WARN — ~10 lines of noise that ate 80% of the driver's captured
+    # stdout tail in r3. They carry no signal here; errors still show.
+    spark.sparkContext.setLogLevel("ERROR")
     # warm the session (JVM + parquet footer reads) outside timed region
     spark.range(1).count()
 

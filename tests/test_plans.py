@@ -196,6 +196,18 @@ def test_triangle_count_uses_hash_joins(spark, sf_dir):
     # the only NLJ allowed is the final 1x1 scalar crossJoin
     rest = plan.replace("BroadcastNestedLoopJoin BuildRight, Cross", "CROSS_OK", 1)
     assert "NestedLoop" not in rest, plan
+    # the r3 degree-orientation rewrite must not silently regress:
+    # edges carry the destination degree (dst_deg) and the wedge join
+    # orders by it — without orientation the wedge fan-out reverts to
+    # choose(deg, 2) on hub nodes instead of O(m^1.5)
+    assert "dst_deg" in plan, plan  # orientation columns in the edge rel
+    assert "du#" in plan and "dv#" in plan, plan  # degree join happened
+    # the wedge ordering predicate (dst_deg <, then dst <) must survive
+    # into a join condition, not be dropped to a post-join filter of a
+    # cartesian wedge expansion
+    import re as _re
+
+    assert _re.search(r"dst_deg#\d+L? < dst_deg#\d+", plan), plan
 
 
 def test_quantile_normalization_broadcasts(spark, sf_dir):
@@ -268,9 +280,10 @@ def test_running_total_no_entity_grain_global_window(spark, sf_dir):
     # exactly one single-partition exchange: the bounded month spine
     assert plan.count("Exchange SinglePartition") == 1, plan
     tail = plan[plan.index("Exchange SinglePartition") :]
-    assert "HashAggregate(keys=[_month" in tail.split("Window", 1)[0] or (
-        "HashAggregate(keys=[_month" in tail
-    ), plan
+    # the spine aggregate must sit between the single-partition exchange
+    # and the (first) Window — i.e. the only thing the single task ever
+    # sees is the bounded month-grain aggregate, not order-grain rows
+    assert "HashAggregate(keys=[_month" in tail.split("Window", 1)[0], plan
 
 
 def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
