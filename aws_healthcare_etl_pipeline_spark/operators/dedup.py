@@ -529,23 +529,48 @@ def ngram_jaccard_pairs(
             F.array_distinct(F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
         ).alias("hs"),
     ).withColumn("n_sh", F.size("hs"))
+    # Document-frequency canonical order for the PREFIXES (PPJoin's
+    # df-ordering, r4): r3 ordered prefixes by hash VALUE, so every
+    # doc's prefix held the globally-smallest hashes it possessed — on
+    # a saturating shingle domain (fixed vocabulary, exactly the
+    # 10x-synthetic regime) the popular small hashes land in ~every
+    # prefix and their buckets grow linearly with corpus size, making
+    # the bucket self-join quadratic (the measured exp-1.09 residual).
+    # Ordering each doc's hashes by ASCENDING GLOBAL FREQUENCY (ties
+    # by hash value — a total order) puts the RAREST shingles in
+    # prefixes instead: bucket sizes track shingle rarity, not corpus
+    # size, so candidate generation stays near-linear as the domain
+    # saturates. The candidate filters (prefix-share, k=2 count,
+    # positional ubound) only require SOME shared global total order,
+    # so their proofs are unchanged — pos is the rank in (f, h) order.
+    # The verify stages use set semantics and keep the cheap per-row
+    # value-sorted arrays above; only prefix construction pays the
+    # freq shuffle. The freq table is vocabulary-sized (shrinks
+    # relative to corpus under saturation) and AQE broadcasts it.
+    #
     # k=2 multi-prefix: one extra element buys the shared-count filter.
     # Same 1e-9 guard as alpha/o_req below: if the double product rounds
     # strictly above an exact-integer t*n the unguarded ceil would shorten
     # the prefix by one while o_req keeps the tighter bound — a recall
     # hole. The slack means float rounding can only LENGTHEN the prefix.
-    prefix_len = (
-        F.col("n_sh")
-        - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
-        + 2
-    ).cast("int")
-    prefixes = hashed.select(
-        "doc_id",
-        *block_cols,
-        "n_sh",
-        F.posexplode(F.slice(F.col("hs"), 1, F.greatest(prefix_len, F.lit(1)))).alias(
-            "pos", "ph"
-        ),
+    prefix_len = F.greatest(
+        (
+            F.col("n_sh")
+            - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+            + 2
+        ).cast("int"),
+        F.lit(1),
+    )
+    ex = hashed.select(
+        "doc_id", *block_cols, "n_sh", F.explode("hs").alias("h")
+    )
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    by_rarity = Window.partitionBy("doc_id").orderBy("f", "h")
+    prefixes = (
+        ex.join(freq, "h")
+        .withColumn("pos", F.row_number().over(by_rarity) - F.lit(1))
+        .filter(F.col("pos") < prefix_len)
+        .select("doc_id", *block_cols, "n_sh", "pos", F.col("h").alias("ph"))
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     cond = (F.col("a.ph") == F.col("b.ph")) & (F.col("a.doc_id") < F.col("b.doc_id"))
