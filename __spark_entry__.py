@@ -71,69 +71,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-window ordering. The driver checks the FIRST ~50 entries
-# of queries() each round; rounds 1+2 verified 96 distinct queries green
-# (CORRECTNESS_r01/r02). Round 3 rotates those to the back and front-loads
-# 50 queries that have NEVER had a driver correctness row, in the judge's
-# priority order (VERDICT r2 "Next round" #1): capstones, PQ ANN, the
-# SQL-text front end, the shaped TPC-H wave, streaming SCD2 / stream-
-# stream join, the format matrix, and this round's four scale-fix
-# queries (rfm / curriculum / drift / fuzzy — fixed plans MUST face the
-# hard signal). Remaining never-checked queries follow immediately after
-# slot 50 so a wider window picks them up; previously-green entries
-# trail at the end (still covered by the sf0.001 pytest parity gate).
+# of queries() each round; rounds 1-3 verified 146 distinct queries green
+# (CORRECTNESS_r01/r02/r03, zero unfixed failures). Round 4 rotates those
+# to the back and front-loads 50 queries that have NEVER had a driver
+# correctness row, in the judge's priority order (VERDICT r3 "Next
+# round" #1): the round-3 waves first (distributed running total, BM25,
+# SQ-int8 ANN, incremental dedup, dedup-method agreement, k-core,
+# recursive CTE / LATERAL, EWMA, source mixing, padding audit, kNN eval,
+# streaming approx-distinct, LTV triangle, HHI, inter-arrival, Heaps
+# growth, burstiness, fixed-width ingest, corpus card, Simpson
+# diversity), then this round's ANN recall bake-off (VERDICT #7), then
+# the wave 5-27 residue. Remaining never-checked queries follow
+# immediately after slot 50 so a wider window picks them up;
+# previously-green entries trail at the end via _ordered_names (still
+# covered by the sf0.001 pytest parity gate every round).
 _VERIFICATION_PRIORITY = [
-    # --- front 50: never driver-checked, highest value first ---
-    "pipeline_training_export_e2e",
-    "multimodal_chunk_dedup",
-    "sim_pq_adc_topk",
-    "sql_lateral_view_tokens",
-    "sql_named_window_shares",
-    "sql_pivot_syntax",
-    "sql_inline_values_join",
-    "q2_shaped_cheapest_supplier",
-    "q9_shaped_profit_by_nation_year",
-    "q11_shaped_high_value_parts",
-    "q16_shaped_supplier_diversity",
-    "q18_large_volume_customers",
-    "q20_shaped_dominant_supplier",
-    "q21_sole_late_supplier",
-    "q22_shaped_dormant_high_balance",
-    "streaming_sliding_counts",
-    "streaming_dedup_replay",
-    "streaming_stream_stream_join",
-    "streaming_scd2_upsert",
-    "streaming_static_enrich",
-    "format_roundtrip_matrix",
-    "format_schema_evolution",
-    "format_text_lines_roundtrip",
-    "format_xml_extract",
-    "format_dynamic_partition_overwrite",
-    "format_jsonl_corrupt_records",
-    "format_csv_multiline_quoted",
-    "rfm_customer_segments",
-    "pipeline_curriculum_interleave",
-    "audit_distribution_drift",
-    "fuzzy_name_matches",
-    "graph_triangle_count",
-    "pipeline_ffd_packing",
-    "text_tfidf_top_terms",
-    "json_variant_extract",
-    "sampling_stratified_fixed_n",
-    "emb_pca_projection",
-    "skew_salted_event_totals",
-    "events_cohort_retention",
-    "text_pmi_bigrams",
-    "quality_decile_buckets",
-    "graph_pagerank_nations",
-    "money_allocation_largest_remainder",
-    "exact_median_selection",
-    "agg_bitmap_distinct",
-    "approx_theta_set_algebra",
-    "pipeline_token_budget_selection",
-    "top_event_paths",
-    "anomaly_rolling_zscore",
-    "customer_purchase_streaks",
-    # --- never checked, continue past slot 50 (bonus if window wider) ---
+    # --- front 50: never driver-checked (r4 rotation) ---
+    "orders_running_total_distributed",
+    "search_bm25_topk",
+    "sim_sq_int8_topk",
+    "pipeline_incremental_dedup",
+    "dedup_method_agreement",
+    "graph_kcore_rounds",
+    "sql_recursive_month_spine",
+    "sql_lateral_topn_per_nation",
+    "events_ewma_daily_value",
+    "pipeline_source_mixing_weights",
+    "pipeline_length_bucket_padding",
+    "emb_knn_label_accuracy",
+    "streaming_daily_distinct_users",
+    "orders_cohort_ltv_triangle",
+    "supplier_hhi_by_part_type",
+    "events_interarrival_stats",
+    "text_vocab_growth_curve",
+    "events_burstiness_index",
+    "format_fixed_width_ingest",
+    "pipeline_corpus_card",
+    "token_simpson_diversity_by_lang",
+    "sim_ann_recall_bakeoff",
     "regr_price_trend_by_brand",
     "outliers_mad_orders",
     "profile_orders_audit",
@@ -162,6 +137,7 @@ _VERIFICATION_PRIORITY = [
     "dedup_canonical_selection",
     "pareto_80_20_customers",
     "reconcile_order_totals",
+    # --- never checked, continue past slot 50 (bonus if window wider) ---
     "funnel_conversion_lag_stats",
     "degree_distribution_suppliers",
     "map_function_battery",
@@ -175,6 +151,7 @@ _VERIFICATION_PRIORITY = [
     "sampling_weighted_reservoir",
     "pipeline_document_chunking",
     "events_time_weighted_value",
+    "attribution_linear_multitouch",
     "rolling_median_weekly",
     "hierarchy_transitive_closure",
     "maintenance_compact_files",
@@ -201,29 +178,6 @@ _VERIFICATION_PRIORITY = [
     "join_null_safe_equality",
     "agg_listagg_ordered",
     "agg_bitwise_battery",
-    # --- wave 28 (round 3): new, never checked ---
-    "search_bm25_topk",
-    "pipeline_source_mixing_weights",
-    "events_ewma_daily_value",
-    "pipeline_length_bucket_padding",
-    # --- waves 29-31 (round 3): new, never checked ---
-    "sim_sq_int8_topk",
-    "orders_running_total_distributed",
-    "dedup_method_agreement",
-    "sql_recursive_month_spine",
-    "sql_lateral_topn_per_nation",
-    "pipeline_incremental_dedup",
-    "graph_kcore_rounds",
-    "format_fixed_width_ingest",
-    "pipeline_corpus_card",
-    "token_simpson_diversity_by_lang",
-    "emb_knn_label_accuracy",
-    "streaming_daily_distinct_users",
-    "orders_cohort_ltv_triangle",
-    "supplier_hhi_by_part_type",
-    "events_interarrival_stats",
-    "text_vocab_growth_curve",
-    "events_burstiness_index",
 ]
 
 

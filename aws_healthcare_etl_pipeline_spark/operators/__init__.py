@@ -15,7 +15,10 @@ from .similarity import brute_force_top_k, lsh_top_k
 from .text import language_id, quality_scores
 from .multimodal import (
     attach_binary_payload,
+    decode_image,
     decode_image_stub,
+    encode_bmp,
+    encode_ppm,
     extract_features,
 )
 
@@ -39,6 +42,9 @@ __all__ = [
     "language_id",
     "quality_scores",
     "attach_binary_payload",
+    "decode_image",
     "decode_image_stub",
+    "encode_bmp",
+    "encode_ppm",
     "extract_features",
 ]

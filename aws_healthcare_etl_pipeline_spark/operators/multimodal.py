@@ -1,12 +1,15 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio decode libraries are not in this container, so the
-decode kernel is a clearly-marked stub (``decode_image_stub`` raises
-NotImplementedError unless ``fake=True``, which produces a
-deterministic fake decode). Everything around the kernel — the binary
-column representation, the metadata struct schema, the Arrow-batched
-``mapInPandas`` plumbing, batch shapes, and partitioning — is real and
-tested; swapping in Pillow/ffmpeg later changes one inner function.
+The decode kernel (``decode_image``) has REAL pure-Python paths for
+binary PNM (P5/P6) and uncompressed 24-bit BMP — codec-free formats
+whose specs fit in a page — and raises ValueError for formats that
+genuinely need a codec library (JPEG/PNG/WebP, not in this container).
+``fake=True`` keeps the deterministic md5-derived 8x8 decode that the
+fixture-facing oracles are built on. Everything around the kernel —
+the binary column representation, the metadata struct schema, the
+Arrow-batched ``mapInPandas`` plumbing, batch shapes, and partitioning
+— is shared by both paths; swapping in Pillow/ffmpeg later changes one
+inner function.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; feature
 extraction is a narrow mapInPandas pass (no shuffle); Arrow moves
@@ -58,22 +61,116 @@ def attach_binary_payload(
     )
 
 
-def decode_image_stub(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode kernel placeholder.
+def _decode_pnm(data: bytes) -> np.ndarray:
+    """Pure-Python binary PNM decode: P5 (grayscale) -> (h, w) uint8,
+    P6 (RGB) -> (h, w, 3) uint8. maxval must be <= 255 (the 8-bit
+    variant; 16-bit PNM is rare and out of contract)."""
+    pos = 2
 
-    Real implementation needs an image codec (Pillow / libjpeg) that is
-    not available in this container. ``fake=True`` returns a
-    deterministic 8x8 grayscale 'image' derived from the payload md5 —
-    stable across runs/machines, so tests can assert on it.
+    def tok(p: int) -> tuple[int, int]:
+        while True:
+            while p < len(data) and data[p : p + 1].isspace():
+                p += 1
+            if p < len(data) and data[p : p + 1] == b"#":
+                while p < len(data) and data[p : p + 1] != b"\n":
+                    p += 1
+                continue
+            break
+        s = p
+        while p < len(data) and not data[p : p + 1].isspace():
+            p += 1
+        return int(data[s:p]), p
+
+    w, pos = tok(pos)
+    h, pos = tok(pos)
+    maxval, pos = tok(pos)
+    if maxval > 255:
+        raise ValueError(f"PNM maxval {maxval} > 255 not supported")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    ch = 3 if data[:2] == b"P6" else 1
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Pure-Python BMP decode: uncompressed (BI_RGB) 24-bit with a
+    BITMAPINFOHEADER -> (h, w, 3) uint8 RGB. Handles 4-byte row
+    padding and both bottom-up (h > 0) and top-down (h < 0) rasters."""
+    import struct
+
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    row_size = (w * 3 + 3) // 4 * 4
+    h_abs = abs(h)
+    rows = [
+        np.frombuffer(data, np.uint8, count=w * 3, offset=off + r * row_size)
+        .reshape(w, 3)[:, ::-1]  # stored BGR -> RGB
+        for r in range(h_abs)
+    ]
+    img = np.stack(rows)
+    return img[::-1] if h > 0 else img  # bottom-up raster unless h < 0
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to a uint8 ndarray.
+
+    Real paths (r4, replacing the r1-r3 NotImplementedError stub) are
+    pure-Python/numpy decoders for the container's codec-free world:
+    binary PNM (P5 grayscale / P6 RGB) and uncompressed 24-bit BMP —
+    formats whose specs are trivial enough to implement exactly. JPEG/
+    PNG/WebP still need a codec library and raise ValueError with an
+    actionable message. ``fake=True`` keeps the deterministic 8x8
+    'image' derived from the payload md5 — stable across runs and
+    engines, so fixture-facing oracles are unchanged.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires a codec library not present in this "
-            "environment; pass fake=True for the deterministic test fake"
-        )
-    digest = hashlib.md5(payload).digest()  # 16 bytes
-    arr = np.frombuffer(digest * 4, dtype=np.uint8)  # 64 bytes
-    return arr.reshape(8, 8)
+    if fake:
+        digest = hashlib.md5(payload).digest()  # 16 bytes
+        return np.frombuffer(digest * 4, dtype=np.uint8).reshape(8, 8)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError(
+        "unsupported image format (magic %r): real decode covers binary "
+        "PNM (P5/P6) and 24-bit BI_RGB BMP; JPEG/PNG need a codec "
+        "library not present in this environment — or pass fake=True "
+        "for the deterministic test fake" % payload[:2]
+    )
+
+
+# Back-compat name from rounds 1-3 (operators/__init__ re-export).
+decode_image_stub = decode_image
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary P6 (RGB, (h, w, 3)) or P5 (grayscale, (h, w)) encoder —
+    the test-side counterpart of ``decode_image``'s real path."""
+    a = np.asarray(img, dtype=np.uint8)
+    magic = b"P6" if a.ndim == 3 else b"P5"
+    h, w = a.shape[0], a.shape[1]
+    return magic + b"\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder (bottom-up raster, padded
+    rows) for an (h, w, 3) uint8 RGB array."""
+    import struct
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    row_size = (w * 3 + 3) // 4 * 4
+    raster = b"".join(
+        a[r, :, ::-1].tobytes() + b"\x00" * (row_size - w * 3)
+        for r in range(h - 1, -1, -1)  # bottom-up
+    )
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + info + raster
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -182,29 +279,79 @@ def sample_frames(df: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> Da
     )
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    mapInPandas: each batch decodes (stub) and emits a small feature
-    vector — the canonical shape for any multimodal featurizer (CLIP
-    embedding, mel spectrogram, frame sample) once a real codec is
-    wired into ``decode_image_stub``.
+    mapInPandas: each batch decodes and emits a small feature vector —
+    the canonical shape for any multimodal featurizer (CLIP embedding,
+    mel spectrogram, frame sample). ``fake=True`` (default) keeps the
+    deterministic md5-derived 8x8 decode the fixture oracles are built
+    on; ``fake=False`` runs the REAL pure-Python decode for binary PNM
+    (P5/P6) and 24-bit BMP payloads (see ``decode_image``) — color
+    images are collapsed to grayscale by channel mean before the
+    intensity/feature math, the standard luma-less reduction.
     """
     id_name = id_col
+    use_fake = fake
 
     # NOTE: the closure must be self-contained (stdlib/numpy/pandas only).
     # Referencing module-level helpers would make cloudpickle serialize
     # them by reference, and Python workers launched outside the repo
-    # root could not import this package.
+    # root could not import this package — hence the real decoders are
+    # REPEATED here inline (source of truth: decode_image above).
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import struct as _struct
 
         import numpy as _np
         import pandas as _pd
 
         def _decode(payload: bytes) -> "_np.ndarray":
-            digest = _hashlib.md5(payload).digest()
-            return _np.frombuffer(digest * 4, dtype=_np.uint8).reshape(8, 8)
+            if use_fake:
+                digest = _hashlib.md5(payload).digest()
+                return _np.frombuffer(digest * 4, dtype=_np.uint8).reshape(8, 8)
+            if payload[:2] in (b"P5", b"P6"):
+                p = 2
+
+                def tok(p: int) -> tuple[int, int]:
+                    while True:
+                        while p < len(payload) and payload[p : p + 1].isspace():
+                            p += 1
+                        if p < len(payload) and payload[p : p + 1] == b"#":
+                            while p < len(payload) and payload[p : p + 1] != b"\n":
+                                p += 1
+                            continue
+                        break
+                    s = p
+                    while p < len(payload) and not payload[p : p + 1].isspace():
+                        p += 1
+                    return int(payload[s:p]), p
+
+                w, p = tok(p)
+                h, p = tok(p)
+                _, p = tok(p)
+                p += 1
+                ch = 3 if payload[:2] == b"P6" else 1
+                arr = _np.frombuffer(payload, _np.uint8, count=w * h * ch, offset=p)
+                img = arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+            elif payload[:2] == b"BM":
+                off = _struct.unpack_from("<I", payload, 10)[0]
+                w, h = _struct.unpack_from("<ii", payload, 18)
+                rs = (w * 3 + 3) // 4 * 4
+                rows = [
+                    _np.frombuffer(payload, _np.uint8, count=w * 3, offset=off + r * rs)
+                    .reshape(w, 3)[:, ::-1]
+                    for r in range(abs(h))
+                ]
+                img = _np.stack(rows)
+                img = img[::-1] if h > 0 else img
+            else:
+                raise ValueError(f"unsupported image magic {payload[:2]!r}")
+            if img.ndim == 3:  # grayscale by channel mean
+                img = img.astype("float64").mean(axis=2)
+            return img
 
         for pdf in it:
             decoded = [_decode(p) for p in pdf["payload"]]

@@ -96,10 +96,9 @@ def _table_signature(vec_col: str, planes: list[list[float]]) -> Column:
     return F.expr(" + ".join(parts))
 
 
-def lsh_top_k(
+def lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int,
     dim: int,
     bits_per_table: int = 8,
     n_tables: int = 8,
@@ -110,23 +109,10 @@ def lsh_top_k(
     query_vec: str = "query_vec",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k cosine via multi-table sign-LSH.
-
-    Classic (b, L) scheme: L independent tables of b hyperplane-sign
-    bits; a corpus vector is a candidate for a query if any table's
-    signatures collide. With ``multiprobe`` the query also probes every
-    1-bit-flip of its signature (b extra probes/table), trading probe
-    fan-out for fewer tables. Exact cosine is then computed on
-    candidates only, so returned scores are exact — the approximation
-    is only which candidates are seen (recall < 1 by contract).
-
-    Scale shape: the corpus emits L compact (table, sig, id) rows —
-    no vectors — into an equi-join against the broadcast query probes;
-    only distinct candidate pairs fetch vectors for scoring. At the
-    defaults and cosine≈0.3 neighbors (near-orthogonal background)
-    expected recall is ~0.5-0.6 while scoring ~25% of the corpus;
-    higher-similarity corpora prune far harder.
-    """
+    """Distinct LSH candidate pairs (query_id, corpus_id) — the
+    candidate-generation stage of ``lsh_top_k``, exposed so callers
+    (e.g. the ANN bake-off) can measure scan cost: ``count()`` of this
+    frame is exactly how many vectors the LSH tier scores."""
     planes = _hyperplanes(dim, bits_per_table * n_tables, seed)
     tables = [planes[t * bits_per_table : (t + 1) * bits_per_table] for t in range(n_tables)]
 
@@ -169,11 +155,57 @@ def lsh_top_k(
         .select(query_id, F.col("probe.t").alias("t"), F.col("probe.sig").alias("sig"))
     )
 
-    candidates = (
+    return (
         c_sig.join(q_probes, ["t", "sig"])
         .filter(F.col(corpus_id) != F.col(query_id))
         .select(query_id, corpus_id)
         .distinct()
+    )
+
+
+def lsh_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    bits_per_table: int = 8,
+    n_tables: int = 8,
+    multiprobe: bool = True,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table sign-LSH.
+
+    Classic (b, L) scheme: L independent tables of b hyperplane-sign
+    bits; a corpus vector is a candidate for a query if any table's
+    signatures collide. With ``multiprobe`` the query also probes every
+    1-bit-flip of its signature (b extra probes/table), trading probe
+    fan-out for fewer tables. Exact cosine is then computed on
+    candidates only, so returned scores are exact — the approximation
+    is only which candidates are seen (recall < 1 by contract).
+
+    Scale shape: the corpus emits L compact (table, sig, id) rows —
+    no vectors — into an equi-join against the broadcast query probes;
+    only distinct candidate pairs fetch vectors for scoring. At the
+    defaults and cosine≈0.3 neighbors (near-orthogonal background)
+    expected recall is ~0.5-0.6 while scoring ~25% of the corpus;
+    higher-similarity corpora prune far harder.
+    """
+    candidates = lsh_candidates(
+        corpus,
+        queries,
+        dim,
+        bits_per_table=bits_per_table,
+        n_tables=n_tables,
+        multiprobe=multiprobe,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+        query_id=query_id,
+        query_vec=query_vec,
+        seed=seed,
     )
     scored = (
         candidates.join(

@@ -21,20 +21,21 @@ N_QUERIES = 10
 TOP_K = 5
 
 
-def _lsh_oracle_sql(
+def _lsh_ctes(
     n_queries: int,
-    k: int,
     dim: int = 64,
     bits_per_table: int = 8,
     n_tables: int = 8,
     seed: int = 42,
 ) -> str:
-    """Full SQL replication of ``lsh_top_k``: the hyperplanes are
-    fixed-seed literals in BOTH plans, the per-plane dot products are
-    the same left-to-right double folds, and sign thresholds/multiprobe
-    /exact rerank are deterministic — so the approximate result is
-    bit-identical across engines. This verifies the ANN pipeline
-    itself, not just its exact-rerank tail."""
+    """SQL CTE list replicating the ``lsh_top_k`` pipeline up to exact
+    scoring: c / q (corpus, queries as DOUBLE[]), csig / qsig
+    (signatures), cand (distinct candidate pairs), scored (exact
+    cosine on candidates). Shared by the lsh top-k oracle and the ANN
+    bake-off oracle — the hyperplanes are fixed-seed literals in BOTH
+    plans, the per-plane dot products are the same left-to-right
+    double folds, and sign thresholds / multiprobe are deterministic,
+    so every stage is bit-identical across engines."""
     planes = _hyperplanes(dim, bits_per_table * n_tables, seed)
 
     def arr(plane: list[float]) -> str:
@@ -59,8 +60,7 @@ def _lsh_oracle_sql(
         f" ON c.s{t} IN ({probes(t)})"
         for t in range(n_tables)
     )
-    return f"""
-        WITH c AS (
+    return f"""c AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ), q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
@@ -81,7 +81,23 @@ def _lsh_oracle_sql(
             FROM cand
             JOIN csig c ON cand.vec_id = c.vec_id
             JOIN qsig q ON cand.query_id = q.query_id
-        )
+        )"""
+
+
+def _lsh_oracle_sql(
+    n_queries: int,
+    k: int,
+    dim: int = 64,
+    bits_per_table: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> str:
+    """Full SQL replication of ``lsh_top_k`` (see ``_lsh_ctes``)."""
+    ctes = _lsh_ctes(
+        n_queries, dim=dim, bits_per_table=bits_per_table, n_tables=n_tables, seed=seed
+    )
+    return f"""
+        WITH {ctes}
         SELECT query_id, vec_id, cosine, rank FROM (
             SELECT query_id, vec_id, cosine,
                    ROW_NUMBER() OVER (
@@ -232,6 +248,31 @@ def emb_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_topk_df(emb: DataFrame) -> DataFrame:
+    """Per-pair IVF approximate top-k at the standard harness settings
+    (first {N_QUERIES} queries, k={TOP_K}, 8 centroids / 2 Lloyd
+    iterations / nprobe=2) — shared by ``sim_ivf_ann_topk`` and the
+    ANN bake-off so both grade the identical pipeline.
+
+    k=8/2 iterations hits the same recall as k=16/3 on this corpus at
+    a third of the train+search cost (Lloyd converges fast on
+    near-orthogonal data); at real scale k grows with corpus size.
+    Training stays on the NARROW frame: its seeded init samples rows
+    in scan order, which a repartition would scramble. The per-row
+    scoring passes (16 dot products x dim) get widened — embeddings
+    is a single-row-group file, i.e. a one-task scan otherwise.
+    """
+    from ..operators.ivf import ivf_top_k, train_ivf_centroids
+    from ..operators.parallelism import widen
+
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    emb_wide = widen(emb, "vec_id")
+    centroids = train_ivf_centroids(emb, k=8, iterations=2)
+    return ivf_top_k(emb_wide, queries_df, k=TOP_K, centroids=centroids, nprobe=2)
+
+
 @query(
     "sim_ivf_ann_topk",
     oracle=f"""
@@ -250,25 +291,14 @@ def emb_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(tests/test_ivf.py).",
 )
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ivf import ivf_top_k, train_ivf_centroids
+    from ..operators.parallelism import widen
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # k=8/2 iterations hits the same recall as k=16/3 on this corpus at
-    # a third of the train+search cost (Lloyd converges fast on
-    # near-orthogonal data); at real scale k grows with corpus size.
-    # Training stays on the NARROW frame: its seeded init samples rows
-    # in scan order, which a repartition would scramble. The per-row
-    # scoring passes (16 dot products x dim) get widened — embeddings
-    # is a single-row-group file, i.e. a one-task scan otherwise.
-    from ..operators.parallelism import widen
-
-    emb_wide = widen(emb, "vec_id")
-    centroids = train_ivf_centroids(emb, k=8, iterations=2)
-    ivf = ivf_top_k(emb_wide, queries_df, k=TOP_K, centroids=centroids, nprobe=2)
-    truth = brute_force_top_k(emb_wide, queries_df, k=TOP_K)
+    ivf = ivf_topk_df(emb)
+    truth = brute_force_top_k(widen(emb, "vec_id"), queries_df, k=TOP_K)
     hits = ivf.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"])
     per_query = (
         ivf.groupBy("query_id")
@@ -294,36 +324,17 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_pq_adc_topk",
-    oracle=f"""
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-               CAST({TOP_K} * COUNT(*) AS BIGINT) AS n_results,
-               TRUE AS mean_recall_ge_050
-        FROM embeddings WHERE vec_id < {N_QUERIES}
-    """,
-    description="Product-quantization ANN (operators/pq.py): corpus "
-    "compressed to m=8 codebook codes (4 bytes/vector packed vs 256 "
-    "of float), ADC table-lookup scan for a 64-candidate shortlist, "
-    "exact cosine rerank of the shortlist only (size n/8, floor 64 — "
-    "recall tracks the shortlist RATIO, measured 0.90 at sf0.1). "
-    "Codebooks are "
-    "sample-trained driver-side (bounded transfer, the standard PQ "
-    "contract); train/encode float math is not bit-stable across "
-    "engines, so like sim_ivf_ann_topk the query SELF-GRADES against "
-    "in-plan brute-force truth and the oracle pins structure plus the "
-    "recall floor (measured 0.875 at this corpus/shortlist; floor "
-    "0.50). Detailed recall curve is pytest-covered "
-    "(tests/test_pq.py).",
-)
-def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_topk_df(emb: DataFrame) -> DataFrame:
+    """Per-pair PQ-ADC approximate top-k at the standard harness
+    settings (first {N_QUERIES} queries, k={TOP_K}, m=8 codebooks,
+    ratio-scaled shortlist) — shared by ``sim_pq_adc_topk`` and the
+    ANN bake-off so both grade the identical pipeline."""
     from pyspark.sql import Window
 
     from ..functions.vectors import dot
     from ..operators.parallelism import widen
     from ..operators.pq import pq_encode, pq_top_k, train_pq_codebooks
 
-    emb = load_table(spark, sf_dir, "embeddings")
     # shortlist scales with the corpus (12.5%, floor 64): a FIXED 64
     # was 0.95 recall on the 500-vector fixture but 0.46 at 2000
     # vectors (sf0.1) — shortlist-to-corpus RATIO is what holds recall
@@ -363,12 +374,40 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    pq_top = (
+    return (
         rer.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
 
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST({TOP_K} * COUNT(*) AS BIGINT) AS n_results,
+               TRUE AS mean_recall_ge_050
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+    description="Product-quantization ANN (operators/pq.py): corpus "
+    "compressed to m=8 codebook codes (4 bytes/vector packed vs 256 "
+    "of float), ADC table-lookup scan for a 64-candidate shortlist, "
+    "exact cosine rerank of the shortlist only (size n/8, floor 64 — "
+    "recall tracks the shortlist RATIO, measured 0.90 at sf0.1). "
+    "Codebooks are "
+    "sample-trained driver-side (bounded transfer, the standard PQ "
+    "contract); train/encode float math is not bit-stable across "
+    "engines, so like sim_ivf_ann_topk the query SELF-GRADES against "
+    "in-plan brute-force truth and the oracle pins structure plus the "
+    "recall floor (measured 0.875 at this corpus/shortlist; floor "
+    "0.50). Detailed recall curve is pytest-covered "
+    "(tests/test_pq.py).",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parallelism import widen
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq_top = pq_topk_df(emb)
     emb_wide = widen(emb, "vec_id")
     truth = brute_force_top_k(
         emb_wide,

@@ -25,19 +25,22 @@ SQ_QUERIES = 10
 SQ_TOP_K = 5
 
 
-@query(
-    "sim_sq_int8_topk",
-    oracle=f"""
-        WITH dims AS (
+def _sq_ctes(n_queries: int, k: int) -> str:
+    """SQL CTE list replicating the full ``sim_sq_int8_topk`` pipeline
+    (per-dim min/max stats, int8 quantize, dequant, asymmetric score,
+    top-k) with collision-free names (sq_*) so the ANN bake-off oracle
+    can splice it next to the LSH and brute CTEs in one WITH clause.
+    Pure rational arithmetic — bit-identical across engines."""
+    return f"""sq_dims AS (
             SELECT d,
                    MIN(CAST(embedding[d] AS DOUBLE)) AS mn,
                    MAX(CAST(embedding[d] AS DOUBLE)) AS mx
             FROM embeddings, generate_series(1, {SQ_DIM}) g(d)
             GROUP BY d
-        ), dimarr AS (
+        ), sq_dimarr AS (
             SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs
-            FROM dims
-        ), corpus AS (
+            FROM sq_dims
+        ), sq_corpus AS (
             SELECT vec_id,
                    list_transform(generate_series(1, {SQ_DIM}), d ->
                        CASE WHEN maxs[d] - mins[d] > 0 THEN
@@ -46,31 +49,40 @@ SQ_TOP_K = 5
                                 / (maxs[d] - mins[d])) * 256.0) AS INT)))
                        ELSE 0 END) AS codes,
                    mins, maxs
-            FROM embeddings, dimarr
-        ), dequant AS (
+            FROM embeddings, sq_dimarr
+        ), sq_dequant AS (
             SELECT vec_id,
                    list_transform(generate_series(1, {SQ_DIM}), d ->
                        mins[d] + ((CAST(codes[d] AS DOUBLE) + 0.5)
                                   * (maxs[d] - mins[d])) / 256.0) AS dq
-            FROM corpus
-        ), q AS (
+            FROM sq_corpus
+        ), sq_q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-            FROM embeddings WHERE vec_id < {SQ_QUERIES}
-        ), scored AS (
+            FROM embeddings WHERE vec_id < {n_queries}
+        ), sq_scored AS (
             SELECT query_id, vec_id,
                    list_dot_product(qv, dq) AS sq_score
-            FROM q, dequant
+            FROM sq_q, sq_dequant
             WHERE vec_id <> query_id
-        )
+        ), sq_topk AS (
+            SELECT query_id, vec_id, sq_score, rank
+            FROM (
+                SELECT query_id, vec_id, sq_score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY sq_score DESC, vec_id
+                       ) AS rank
+                FROM sq_scored
+            ) t
+            WHERE rank <= {k}
+        )"""
+
+
+@query(
+    "sim_sq_int8_topk",
+    oracle=f"""
+        WITH {_sq_ctes(SQ_QUERIES, SQ_TOP_K)}
         SELECT query_id, vec_id, sq_score, rank
-        FROM (
-            SELECT query_id, vec_id, sq_score,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY query_id ORDER BY sq_score DESC, vec_id
-                   ) AS rank
-            FROM scored
-        ) t
-        WHERE rank <= {SQ_TOP_K}
+        FROM sq_topk
         ORDER BY query_id, rank
     """,
     description="Scalar-quantized (int8, asymmetric) top-5 neighbors "

@@ -42,13 +42,64 @@ def test_catalog_register_and_recover(spark, tmp_path):
     spark.sql("DROP DATABASE etl_test_db")
 
 
-def test_decode_stub_contract():
-    with pytest.raises(NotImplementedError):
+def test_decode_contract():
+    # unknown magic (JPEG/PNG-class payloads) still needs a codec: loud error
+    with pytest.raises(ValueError):
         decode_image_stub(b"payload")
     img = decode_image_stub(b"payload", fake=True)
     assert img.shape == (8, 8)
     # deterministic across calls
     assert (img == decode_image_stub(b"payload", fake=True)).all()
+
+
+def test_real_decode_ppm_bmp_roundtrip():
+    import numpy as np
+
+    from aws_healthcare_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rgb = (np.arange(5 * 7 * 3, dtype=np.uint32) * 37 % 256).astype(np.uint8)
+    rgb = rgb.reshape(5, 7, 3)
+    gray = rgb[:, :, 0]
+    assert (decode_image(encode_ppm(rgb)) == rgb).all()  # P6 roundtrip
+    assert (decode_image(encode_ppm(gray)) == gray).all()  # P5 roundtrip
+    # BMP: 7px rows exercise the 4-byte padding path; bottom-up raster
+    assert (decode_image(encode_bmp(rgb)) == rgb).all()
+    # PNM comment handling
+    commented = b"P5\n# a comment\n7 5\n255\n" + gray.tobytes()
+    assert (decode_image(commented) == gray).all()
+
+
+def test_extract_features_real_decode(spark):
+    import numpy as np
+
+    from aws_healthcare_etl_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        extract_features,
+    )
+
+    rgb = (np.arange(6 * 6 * 3, dtype=np.uint32) * 11 % 256).astype(np.uint8)
+    rgb = rgb.reshape(6, 6, 3)
+    gray = (np.arange(4 * 4, dtype=np.uint32) * 29 % 256).astype(np.uint8)
+    gray = gray.reshape(4, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(rgb))), (2, bytearray(encode_bmp(rgb))),
+         (3, bytearray(encode_ppm(gray)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_features(df, fake=False).collect()}
+    gray_mean = float(rgb.astype("float64").mean(axis=2).mean())
+    # PPM and BMP carry the same pixels -> identical features
+    assert abs(rows[1].mean_intensity - gray_mean) < 1e-12
+    assert abs(rows[2].mean_intensity - gray_mean) < 1e-12
+    assert rows[1].feature == rows[2].feature
+    assert abs(rows[3].mean_intensity - float(gray.mean())) < 1e-12
+    expect = [float(x) for x in (gray.astype("float32").ravel() / 255.0)[:16]]
+    assert rows[3].feature == pytest.approx(expect)
 
 
 def test_binary_payload_and_features(spark):
