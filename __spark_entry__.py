@@ -178,6 +178,14 @@ _VERIFICATION_PRIORITY = [
     "join_null_safe_equality",
     "agg_listagg_ordered",
     "agg_bitwise_battery",
+    # --- wave 39 (round 4): new, never checked ---
+    "supplier_ontime_wilson_rank",
+    "text_zipf_rank_frequency",
+    "quality_linear_classifier",
+    "join_bloom_filter_audit",
+    "graph_label_propagation_rounds",
+    "events_approx_quantile_band",
+    "multimodal_real_decode_stats",
 ]
 
 

@@ -49,6 +49,7 @@ from . import analytics17  # noqa: E402,F401
 from . import analytics18  # noqa: E402,F401
 from . import llm_similarity2  # noqa: E402,F401
 from . import llm_similarity3  # noqa: E402,F401
+from . import analytics20  # noqa: E402,F401
 from . import analytics19  # noqa: E402,F401
 from . import sqltext2  # noqa: E402,F401
 from . import llm_text4  # noqa: E402,F401

@@ -23,6 +23,13 @@ scaling exponent per query is the best local proxy for the 100x claim
 
 Output: /root/repo/.scale/sf1/*.parquet (gitignored, ~180 MB).
 Deterministic: same output on every run.
+
+r4: REPLICAS is env-overridable so the same generator produces a THIRD
+scale point — two points fit any straight line, three distinguish a
+true exponent from a crossover (VERDICT r3 #5):
+
+    SPARK_GRAFT_REPLICAS=30 SPARK_GRAFT_SF1=$REPO/.scale/sf3 \
+        python scripts/make_sf1.py     # sf3 = 30x sf0.1, ~540 MB
 """
 
 from __future__ import annotations
@@ -39,7 +46,7 @@ DST = os.environ.get(
     "SPARK_GRAFT_SF1",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"),
 )
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 
 # (table, key stride per replica) — strides = sf0.1 cardinalities so
 # offset keys stay contiguous and FK-consistent across replicas.
