@@ -288,6 +288,9 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FFD_SHARD_TARGET = 4096  # max items per sequential packing unit
+
+
 @query(
     "pipeline_ffd_packing",
     oracle=f"""
@@ -297,7 +300,7 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ceil(SUM(n_tokens) / {CONTEXT_TOKENS}.0) AS BIGINT)
                    AS min_bins_lb,
                TRUE AS bins_within_capacity,
-               TRUE AS at_most_one_half_empty,
+               TRUE AS half_empty_within_shard_bound,
                TRUE AS n_bins_within_bounds
         FROM (SELECT lang, len({_SQL_TOKS}) AS n_tokens FROM documents)
         GROUP BY lang
@@ -306,17 +309,23 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="First-fit-decreasing packing (operators/packing.py::"
     "ffd_pack, the applyInPandas grouped-map operator): unlike "
     "concat-and-chunk it never splits a document across context "
-    "windows. Bin counts are algorithm-dependent, so the oracle pins "
-    "the EXACT doc/token totals and lower bound plus self-graded "
+    "windows. FFD is sequential per packing unit with an O(items x "
+    "bins) inner loop, so groups are hash-SHARDED to <= "
+    f"{FFD_SHARD_TARGET} items (ffd_shard_count: shards = "
+    "ceil(max_group/target), one tiny pre-aggregate) — the r4 fix "
+    "for the measured sf1->sf3 exponent 1.73 on unbounded per-lang "
+    "groups; with bounded units total work is linear and every unit "
+    "parallelizes. Bin counts are algorithm-dependent, so the oracle "
+    "pins the EXACT doc/token totals and lower bound plus self-graded "
     "booleans for FFD's provable invariants: every shared (2+ item) "
     "bin fill <= capacity (a dedicated single-oversize-item bin may "
-    "exceed it), at most one bin per group under half fill (any "
-    "first-fit violating this would never have opened the second "
-    "bin), and lb <= n_bins <= 2*lb + 1 (which that half-fill "
-    "property implies).",
+    "exceed it), at most one bin under half fill PER (group, shard) "
+    "unit (any first-fit violating this would never have opened the "
+    "second bin) so <= n_shards per lang, and lb <= n_bins <= 2*lb + "
+    "n_shards (which that half-fill property implies).",
 )
 def pipeline_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.packing import ffd_pack
+    from ..operators.packing import ffd_pack, ffd_shard_count
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
@@ -324,9 +333,10 @@ def pipeline_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tokens(normalize_text(F.col("text")))).cast("long").alias("n_tokens"),
     )
+    n_shards = ffd_shard_count(sized, "lang", FFD_SHARD_TARGET)
     packed = ffd_pack(
         sized, group_col="lang", id_col="doc_id", size_col="n_tokens",
-        capacity=CONTEXT_TOKENS,
+        capacity=CONTEXT_TOKENS, n_shards=n_shards,
     )
     bins = packed.groupBy("lang", "bin_id").agg(
         F.sum("n_tokens").alias("fill"),
@@ -351,8 +361,8 @@ def pipeline_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         lb.alias("min_bins_lb"),
         (F.col("max_shared_fill") <= CONTEXT_TOKENS).alias("bins_within_capacity"),
-        (F.col("n_half_empty") <= 1).alias("at_most_one_half_empty"),
-        ((F.col("n_bins") >= lb) & (F.col("n_bins") <= 2 * lb + 1)).alias(
+        (F.col("n_half_empty") <= n_shards).alias("half_empty_within_shard_bound"),
+        ((F.col("n_bins") >= lb) & (F.col("n_bins") <= 2 * lb + n_shards)).alias(
             "n_bins_within_bounds"
         ),
     ).orderBy("lang")
