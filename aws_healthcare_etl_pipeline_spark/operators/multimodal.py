@@ -331,7 +331,9 @@ def extract_features(
 
                 w, p = tok(p)
                 h, p = tok(p)
-                _, p = tok(p)
+                maxval, p = tok(p)
+                if maxval > 255:
+                    raise ValueError(f"PNM maxval {maxval} > 255 not supported")
                 p += 1
                 ch = 3 if payload[:2] == b"P6" else 1
                 arr = _np.frombuffer(payload, _np.uint8, count=w * h * ch, offset=p)

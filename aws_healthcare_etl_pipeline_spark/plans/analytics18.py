@@ -12,6 +12,9 @@ int64->double conversion (round-to-nearest in both the JVM and C).
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -205,7 +208,31 @@ def pipeline_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-EWMA_LAGS = 13  # trailing window; lambda = 1/2 per day
+EWMA_LAGS = 13  # trailing window; lambda = 1/2 per calendar day
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    """Numerator / denominator SQL for the 14-day lag-weighted EWMA.
+
+    Weight for a row k calendar days back is 2^(EWMA_LAGS - k), i.e.
+    the current day carries 2^13 = 8192 and the oldest in-window day
+    carries 1 — all weights are in [1, 8192], so the int64 product
+    v_cents * weight is safe for any daily value below 2^50 cents
+    (~$11.3e12/day) regardless of how many days the series spans.
+    """
+    num = " + ".join(
+        f"COALESCE(lag(v_cents, {k}) OVER w * {1 << (EWMA_LAGS - k)}, 0)"
+        for k in range(EWMA_LAGS + 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(v_cents, {k}) OVER w IS NOT NULL"
+        f" THEN {1 << (EWMA_LAGS - k)} ELSE 0 END"
+        for k in range(EWMA_LAGS + 1)
+    )
+    return num, den
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
 
 
 @query(
@@ -218,52 +245,54 @@ EWMA_LAGS = 13  # trailing window; lambda = 1/2 per day
                        AS v_cents
             FROM events
             GROUP BY event_type, CAST(ts AS DATE)
-        ), anchored AS (
-            SELECT event_type, day, v_cents,
-                   date_diff('day',
-                             MIN(day) OVER (PARTITION BY event_type),
-                             day) AS day_idx
-            FROM daily
-        ), bounded AS (
-            SELECT * FROM anchored WHERE day_idx <= 62
+        ), span AS (
+            SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY event_type
+        ), spine AS (
+            SELECT event_type,
+                   CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                               CAST(d1 AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM span
+        ), dense AS (
+            SELECT s.event_type, s.day, d.v_cents
+            FROM spine s
+            LEFT JOIN daily d
+              ON s.event_type = d.event_type AND s.day = d.day
         ), win AS (
             SELECT event_type, day, v_cents,
-                   SUM(v_cents * (CAST(1 AS BIGINT) << day_idx)) OVER (
-                       PARTITION BY event_type ORDER BY day
-                       ROWS BETWEEN {EWMA_LAGS} PRECEDING AND CURRENT ROW
-                   ) AS s_num,
-                   SUM(CAST(1 AS BIGINT) << day_idx) OVER (
-                       PARTITION BY event_type ORDER BY day
-                       ROWS BETWEEN {EWMA_LAGS} PRECEDING AND CURRENT ROW
-                   ) AS s_den
-            FROM bounded
+                   {_EWMA_NUM_SQL} AS s_num,
+                   {_EWMA_DEN_SQL} AS s_den
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
         )
         SELECT event_type, day::TIMESTAMP AS day,
                CAST(CAST(v_cents AS DOUBLE) / 100.0 AS DOUBLE) AS daily_value,
                CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE) / 100.0
                    AS ewma_value
         FROM win
+        WHERE v_cents IS NOT NULL
         ORDER BY event_type, day
     """,
     description="Exponentially weighted moving average of daily event "
-    "value per event type (lambda=1/2, 14-day trailing frame) — the "
-    "standard smoothed-metric monitor. The two-sided-engine trick: "
-    "weight 2^-(t-s) is carried as EXACT integers — each day "
-    "contributes v_cents<<day_idx, the frame sum divides by the "
-    "matching sum of 2^day_idx — so the only doubles are two "
-    "int64->double conversions and two divisions (deterministic in "
-    "both engines); no pow(), no order-dependent double sum. The "
-    "heavy table reduces through one partial-agg shuffle to the "
-    "(type x day) grain; the ordered window runs on that bounded "
-    "calendar spine, the scale-sanctioned place for one (SCALE.md). "
-    "CONTRACT (enforced in code, not prose): day_idx anchors to each "
-    "type's own first observed day — computed on the bounded daily "
-    "spine, so negative shifts are impossible on any input dates — "
-    "and days past anchor+62 are excluded before the window in BOTH "
-    "engines (int64 shift domain; Spark masks shifts mod 64, DuckDB "
-    "doesn't, so an unguarded overflow would diverge silently, not "
-    "loudly). Spans beyond 63 days would segment-re-anchor in "
-    "production; the exclusion keeps the cross-engine hash honest.",
+    "value per event type (lambda=1/2 per calendar day, 14-day "
+    "trailing window) — the standard smoothed-metric monitor. The "
+    "two-engine trick: weights are carried as EXACT integers, and — "
+    "this is the overflow fix — they are anchored to the CURRENT row, "
+    "not the partition start: each calendar spine is densified "
+    "(sequence/generate_series per type), and the frame is 14 "
+    "explicit lag() taps where the tap k days back weighs "
+    "2^(13-k) in [1, 8192]. The product v_cents * weight therefore "
+    "stays below 2^63 for any daily value under ~$11e12 and ANY "
+    "series length — no day_idx shift, no 62-day exclusion, no "
+    "domain cliff; missing days contribute neither value nor weight "
+    "(renormalized over observed days). The only doubles are two "
+    "int64->double conversions and two divisions, deterministic in "
+    "both engines. The heavy table reduces through one partial-agg "
+    "shuffle to the (type x day) grain; the lag taps run on the "
+    "bounded calendar spine, the scale-sanctioned place for an "
+    "ordered window (SCALE.md).",
 )
 def events_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -276,27 +305,50 @@ def events_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg((F.sum("v") * 100).cast("bigint").alias("v_cents"))
     )
-    anchor = Window.partitionBy("event_type")
-    daily = daily.withColumn(
-        "day_idx", F.datediff(F.col("day"), F.min("day").over(anchor))
-    ).filter(F.col("day_idx") <= F.lit(62))
-    frame = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-EWMA_LAGS, Window.currentRow)
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
     )
-    num = F.sum(
-        F.expr("v_cents * shiftleft(cast(1 as bigint), day_idx)")
-    ).over(frame)
-    den = F.sum(F.expr("shiftleft(cast(1 as bigint), day_idx)")).over(frame)
+    spine = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    dense = spine.join(daily, ["event_type", "day"], "left")
+    w = Window.partitionBy("event_type").orderBy("day")
+    taps = [F.lag("v_cents", k).over(w) for k in range(EWMA_LAGS + 1)]
+    num = reduce(
+        add,
+        [
+            F.coalesce(t * F.lit(1 << (EWMA_LAGS - k)), F.lit(0))
+            for k, t in enumerate(taps)
+        ],
+    )
+    den = reduce(
+        add,
+        [
+            F.when(t.isNotNull(), F.lit(1 << (EWMA_LAGS - k))).otherwise(
+                F.lit(0)
+            )
+            for k, t in enumerate(taps)
+        ],
+    )
     return (
-        daily.select(
+        dense.select(
+            "event_type",
+            "day",
+            "v_cents",
+            num.alias("s_num"),
+            den.alias("s_den"),
+        )
+        .filter(F.col("v_cents").isNotNull())
+        .select(
             "event_type",
             F.col("day").cast("timestamp").alias("day"),
             (F.col("v_cents").cast("double") / F.lit(100.0)).alias("daily_value"),
-            (num.cast("double") / den.cast("double") / F.lit(100.0)).alias(
-                "ewma_value"
-            ),
+            (
+                F.col("s_num").cast("double")
+                / F.col("s_den").cast("double")
+                / F.lit(100.0)
+            ).alias("ewma_value"),
         )
         .orderBy("event_type", "day")
     )

@@ -302,8 +302,9 @@ def _bloom_oracle() -> str:
 @query(
     "join_bloom_filter_audit",
     oracle=_bloom_oracle(),
-    description="Bloom-filter semi-join audit: a 1024-bit / 3-hash "
-    "Bloom filter is BUILT over the high-balance customer keys as 16 "
+    description="Bloom-filter semi-join audit: a 1008-bit (16 x 63 "
+    "usable bits per int64 word, shift domain <= 62) / 3-hash Bloom "
+    "filter is BUILT over the high-balance customer keys as 16 "
     "int64 words (bit_or aggregate), BROADCAST, and PROBED by the "
     "distinct order custkeys; the result reports measured candidates, "
     "false positives and the fp rate vs the exact semi-join truth — "

@@ -102,6 +102,28 @@ def test_extract_features_real_decode(spark):
     assert rows[3].feature == pytest.approx(expect)
 
 
+def test_extract_features_rejects_16bit_pnm(spark):
+    # The inline worker decoder must reject maxval > 255 exactly like
+    # decode_image (the source of truth) — a 16-bit P5 payload must
+    # raise, not silently mis-decode (advisor finding, round 4).
+    import numpy as np
+
+    from aws_healthcare_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+    )
+
+    gray16 = (np.arange(4 * 4, dtype=np.uint16) * 1021 % 65536).astype(">u2")
+    payload = b"P5\n4 4\n65535\n" + gray16.tobytes()
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(payload)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="maxval"):
+        extract_features(df, fake=False).collect()
+
+
 def test_binary_payload_and_features(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"
