@@ -9,11 +9,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cumsum import distributed_running_total
-from ..operators.dedup import ngram_jaccard_pairs, simhash_near_duplicates
+from ..operators.dedup import (
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_portable,
+)
 from ..sources.tables import load_table
 from .llm_dedup import (
-    SQL_CORPUS_SHINGLES,
     SQL_SIMHASH_SIG,
+    _sql_corpus_shingles,
     _sql_jaccard_pairs,
     perturbed_corpus,
 )
@@ -69,74 +73,162 @@ def orders_running_total_distributed(spark: SparkSession, sf_dir: str) -> DataFr
 
 AGREE_J = 0.8  # exact-Jaccard ground-truth threshold
 AGREE_HAMMING = 3  # simhash radius (exact by pigeonhole at <= 3)
+AGREE_PANEL_DOCS = 2500  # precision eval panel target size (docs)
 
 
 @query(
     "dedup_method_agreement",
     oracle=f"""
-        WITH {SQL_CORPUS_SHINGLES},
+        WITH {_sql_corpus_shingles(5)},
         {SQL_SIMHASH_SIG},
         truth AS (
             SELECT id_a, id_b FROM ({_sql_jaccard_pairs(AGREE_J, lang_blocked=False)})
+        ), truth_stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+                   CAST(COALESCE(SUM(CASE WHEN bit_count(xor(sa.simhash,
+                                                             sb.simhash))
+                                               <= {AGREE_HAMMING}
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS tp_truth
+            FROM truth t
+            JOIN sig sa ON t.id_a = sa.doc_id
+            JOIN sig sb ON t.id_b = sb.doc_id
+        ), pm AS (
+            SELECT GREATEST(CAST(FLOOR(COUNT(*) / {AGREE_PANEL_DOCS}.0)
+                                 AS BIGINT), 1) AS panel_mod
+            FROM corpus
+        ), panel AS (
+            SELECT s.doc_id, s.simhash
+            FROM sig s, pm WHERE s.doc_id % pm.panel_mod = 0
+        ), panel_docs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_panel_docs FROM panel
         ), pred AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            FROM panel a JOIN panel b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= {AGREE_HAMMING}
-        ), joined AS (
-            SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_t,
-                   CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_p
-            FROM truth t FULL JOIN pred p
-              ON t.id_a = p.id_a AND t.id_b = p.id_b
+        ), pred_stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pred_panel,
+                   CAST(COALESCE(SUM(CASE WHEN t.id_a IS NOT NULL
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS tp_panel
+            FROM pred p
+            LEFT JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b
         )
-        SELECT CAST(SUM(is_t) AS BIGINT) AS n_truth,
-               CAST(SUM(is_p) AS BIGINT) AS n_pred,
-               CAST(SUM(is_t * is_p) AS BIGINT) AS tp,
-               CAST(SUM(is_p * (1 - is_t)) AS BIGINT) AS fp,
-               CAST(SUM(is_t * (1 - is_p)) AS BIGINT) AS fn,
-               CAST(SUM(is_t * is_p) AS DOUBLE)
-                   / CAST(GREATEST(SUM(is_p), 1) AS DOUBLE) AS precision_,
-               CAST(SUM(is_t * is_p) AS DOUBLE)
-                   / CAST(GREATEST(SUM(is_t), 1) AS DOUBLE) AS recall_
-        FROM joined
+        SELECT n_truth, tp_truth,
+               CAST(tp_truth AS DOUBLE)
+                   / CAST(GREATEST(n_truth, 1) AS DOUBLE) AS recall_,
+               n_panel_docs, n_pred_panel, tp_panel,
+               CAST(tp_panel AS DOUBLE)
+                   / CAST(GREATEST(n_pred_panel, 1) AS DOUBLE)
+                   AS precision_panel
+        FROM truth_stats, panel_docs, pred_stats
     """,
-    description="Dedup-method evaluation harness: the SimHash pair "
-    f"set (60-bit portable signatures, hamming <= {AGREE_HAMMING} — "
-    "exact under 4-band pigeonhole blocking) scored against exact "
-    f"3-gram Jaccard >= {AGREE_J} ground truth (PPJoin prefix filter, "
-    "provably complete), as tp/fp/fn + precision/recall. This is the "
-    "measurement a pipeline owner runs before choosing the cheap "
-    "8-byte-signature method over the exact one at 100 TB — both "
-    "sides are the scale-safe banded/prefix plans (no all-pairs "
-    "anywhere in Spark; the all-pairs SQL lives only in the oracle "
-    "as ground truth). Metrics divide exact integers once; the "
-    "output is a single row.",
+    description="Dedup-method evaluation harness, restructured (r5) "
+    "to the shape that survives a corpus whose SimHash prediction set "
+    "is itself quadratic: RECALL is exact and linear — the (small) "
+    "exact 5-gram-Jaccard truth set (the unsaturated shingle order, "
+    "see dedup_ngram_jaccard_pairs) probes the full-corpus 60-bit portable "
+    "signatures directly (two hash joins + bit_count, never the "
+    f"banded self-join), tp_truth / n_truth at hamming <= {AGREE_HAMMING}; "
+    "PRECISION is measured on a bounded deterministic eval panel — "
+    f"panel_mod = max(1, floor(n_docs / {AGREE_PANEL_DOCS})), keep "
+    "doc_id % panel_mod = 0 — so the only pair-set ever materialized "
+    f"is over ~{AGREE_PANEL_DOCS} docs REGARDLESS of corpus size (a "
+    "uniform pair sample at rate 1/panel_mod^2, the standard "
+    "fixed-size eval-panel estimator). The r4 form materialized the "
+    "full prediction set: 1.05M pairs at sf0.1 and growing "
+    "quadratically, which is exactly what a 100 TB owner cannot do; "
+    "measuring the method on a panel is what they actually run. Both "
+    "engines compute the identical panel (integer modulus on doc_id), "
+    "banded blocking stays exact at this radius (pigeonhole), and "
+    "the two metric divisions are the only doubles. Single-row "
+    "output.",
 )
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = perturbed_corpus(spark, sf_dir)
-    truth = ngram_jaccard_pairs(
-        corpus, "text", "doc_id", block_cols=[], threshold=AGREE_J
-    ).select("id_a", "id_b", F.lit(1).alias("is_t"))
-    pred = simhash_near_duplicates(
-        corpus, "text", "doc_id", max_hamming=AGREE_HAMMING, portable=True
-    ).select("id_a", "id_b", F.lit(1).alias("is_p"))
-    joined = truth.join(pred, ["id_a", "id_b"], "full").select(
-        F.coalesce("is_t", F.lit(0)).alias("is_t"),
-        F.coalesce("is_p", F.lit(0)).alias("is_p"),
+    sigs = corpus.select(
+        "doc_id", simhash_portable(F.col("text")).alias("simhash")
     )
-    return joined.agg(
-        F.sum("is_t").cast("bigint").alias("n_truth"),
-        F.sum("is_p").cast("bigint").alias("n_pred"),
-        F.sum(F.col("is_t") * F.col("is_p")).cast("bigint").alias("tp"),
-        F.sum(F.col("is_p") * (1 - F.col("is_t"))).cast("bigint").alias("fp"),
-        F.sum(F.col("is_t") * (1 - F.col("is_p"))).cast("bigint").alias("fn"),
-        (
-            F.sum(F.col("is_t") * F.col("is_p")).cast("double")
-            / F.greatest(F.sum("is_p"), F.lit(1)).cast("double")
-        ).alias("precision_"),
-        (
-            F.sum(F.col("is_t") * F.col("is_p")).cast("double")
-            / F.greatest(F.sum("is_t"), F.lit(1)).cast("double")
-        ).alias("recall_"),
+    truth = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", block_cols=[], shingle_size=5,
+        threshold=AGREE_J,
+    ).select("id_a", "id_b")
+    truth_stats = (
+        truth.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                        <= AGREE_HAMMING
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tp_truth"),
+        )
+    )
+    pm = corpus.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / F.lit(float(AGREE_PANEL_DOCS))).cast(
+                "bigint"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("panel_mod")
+    )
+    panel = (
+        corpus.crossJoin(F.broadcast(pm))
+        .filter(F.col("doc_id") % F.col("panel_mod") == 0)
+        .select("doc_id", "text", "lang")
+    )
+    panel_docs = panel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_panel_docs")
+    )
+    pred = simhash_near_duplicates(
+        panel, "text", "doc_id", max_hamming=AGREE_HAMMING, portable=True
+    ).select("id_a", "id_b")
+    pred_stats = (
+        pred.join(
+            truth.withColumn("is_t", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pred_panel"),
+            F.coalesce(F.sum("is_t"), F.lit(0))
+            .cast("bigint")
+            .alias("tp_panel"),
+        )
+    )
+    return (
+        truth_stats.crossJoin(F.broadcast(panel_docs))
+        .crossJoin(F.broadcast(pred_stats))
+        .select(
+            "n_truth",
+            "tp_truth",
+            (
+                F.col("tp_truth").cast("double")
+                / F.greatest(F.col("n_truth"), F.lit(1)).cast("double")
+            ).alias("recall_"),
+            "n_panel_docs",
+            "n_pred_panel",
+            "tp_panel",
+            (
+                F.col("tp_panel").cast("double")
+                / F.greatest(F.col("n_pred_panel"), F.lit(1)).cast("double")
+            ).alias("precision_panel"),
+        )
     )
 
 
