@@ -369,3 +369,117 @@ def extract_features(
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+PHASH_BITS = 60  # int64-portable, same rationale as PORTABLE_SIMHASH_BITS
+
+
+def perceptual_hash(
+    df: DataFrame, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over binary payloads.
+
+    mapInPandas lane: decode -> 8x8 grid -> one bit per cell, set iff
+    the cell exceeds the image mean; the first ``PHASH_BITS`` cells
+    (row-major) pack into an int64. ``fake=True`` uses the
+    deterministic md5-derived 8x8 decode (pixels = digest bytes
+    repeated 4x), with the threshold kept in EXACT integers
+    (``pixel * 64 > sum(pixels)``) so an external SQL engine can
+    recompute the hash bit-for-bit. ``fake=False`` decodes real
+    PNM/BMP payloads and mean-pools floor-cropped 8x8 blocks (images
+    must be >= 8px each side).
+    """
+    id_name = id_col
+    use_fake = fake
+
+    # NOTE: self-contained closure (see extract_features NOTE); the
+    # real decoder is an inline copy — source of truth: decode_image,
+    # equality pinned by tests/test_catalog_multimodal.py.
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(payload: bytes) -> "_np.ndarray":
+            if payload[:2] in (b"P5", b"P6"):
+                p = 2
+
+                def tok(p: int) -> tuple[int, int]:
+                    while True:
+                        while p < len(payload) and payload[p : p + 1].isspace():
+                            p += 1
+                        if p < len(payload) and payload[p : p + 1] == b"#":
+                            while p < len(payload) and payload[p : p + 1] != b"\n":
+                                p += 1
+                            continue
+                        break
+                    s = p
+                    while p < len(payload) and not payload[p : p + 1].isspace():
+                        p += 1
+                    return int(payload[s:p]), p
+
+                w, p = tok(p)
+                h, p = tok(p)
+                maxval, p = tok(p)
+                if maxval > 255:
+                    raise ValueError(f"PNM maxval {maxval} > 255 not supported")
+                p += 1
+                ch = 3 if payload[:2] == b"P6" else 1
+                arr = _np.frombuffer(payload, _np.uint8, count=w * h * ch, offset=p)
+                img = arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+            elif payload[:2] == b"BM":
+                off = _struct.unpack_from("<I", payload, 10)[0]
+                w, h = _struct.unpack_from("<ii", payload, 18)
+                rs = (w * 3 + 3) // 4 * 4
+                rows = [
+                    _np.frombuffer(payload, _np.uint8, count=w * 3, offset=off + r * rs)
+                    .reshape(w, 3)[:, ::-1]
+                    for r in range(abs(h))
+                ]
+                img = _np.stack(rows)
+                img = img[::-1] if h > 0 else img
+            else:
+                raise ValueError(f"unsupported image magic {payload[:2]!r}")
+            if img.ndim == 3:
+                img = img.astype("float64").mean(axis=2)
+            return img
+
+        def _phash(payload: bytes) -> int:
+            if use_fake:
+                pixels = list(_hashlib.md5(payload).digest()) * 4
+                total = sum(pixels)  # == 64 * mean, kept exact
+                h = 0
+                for j in range(60):
+                    if pixels[j] * 64 > total:
+                        h |= 1 << j
+                return h
+            img = _decode(payload).astype("float64")
+            ih, iw = img.shape
+            if ih < 8 or iw < 8:
+                raise ValueError(f"image {ih}x{iw} too small for phash")
+            h8, w8 = ih // 8 * 8, iw // 8 * 8
+            blocks = img[:h8, :w8].reshape(8, h8 // 8, 8, w8 // 8).mean(axis=(1, 3))
+            flat = blocks.ravel()
+            mean = flat.mean()
+            h = 0
+            for j in range(60):
+                if flat[j] > mean:
+                    h |= 1 << j
+            return h
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].astype("int64"),
+                    "phash": [_phash(p) for p in pdf["payload"]],
+                }
+            )
+
+    return (
+        df.select(id_col, "payload")
+        .withColumnRenamed(id_col, "doc_id")
+        .mapInPandas(batches, PHASH_SCHEMA)
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.multimodal import attach_binary_payload, perceptual_hash
 from ..sources.tables import load_table
 from .registry import dec, disc_price, query, sql_dsum
 
@@ -485,4 +486,421 @@ def orders_cum_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
         .orderBy("month")
+    )
+
+
+# ----------------------------------------------- integer-lattice k-means
+
+KMEANS_K = 8
+KMEANS_SCALE = 1_048_576  # 2^20 micro-lattice quantization
+_KM_DIM = 64
+
+_KM_SQL_Q = f"""
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              e -> CAST(FLOOR(CAST(e AS DOUBLE)
+                                              * {KMEANS_SCALE}.0) AS BIGINT))
+                   AS v
+        FROM embeddings
+    )
+"""
+
+
+def _km_sql_assign(name: str, cents: str) -> str:
+    return f"""
+        {name} AS (
+            SELECT vec_id, MIN(d2 * {KMEANS_K} + cid) AS key
+            FROM (
+                SELECT a.vec_id, s.cid,
+                       CAST(list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                                i -> (a.v[i] - s.v[i]) * (a.v[i] - s.v[i])))
+                            AS BIGINT) AS d2
+                FROM q a CROSS JOIN {cents} s
+            ) GROUP BY vec_id
+        )
+    """
+
+
+def _km_sql_centroids(name: str, assign: str) -> str:
+    return f"""
+        {name}_e AS (
+            SELECT CAST({assign}.key % {KMEANS_K} AS BIGINT) AS cid, q.v
+            FROM {assign} JOIN q USING (vec_id)
+        ), {name}_n AS (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+            FROM {name}_e GROUP BY cid
+        ), {name}_d AS (
+            SELECT cid, i, CAST(SUM(v[i]) AS BIGINT) AS s
+            FROM {name}_e
+            CROSS JOIN (SELECT unnest(range(1, {_KM_DIM + 1})) AS i)
+            GROUP BY cid, i
+        ), {name} AS (
+            SELECT cid,
+                   list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)
+                        ORDER BY i) AS v
+            FROM {name}_d JOIN {name}_n USING (cid)
+            GROUP BY cid, n
+        )
+    """
+
+
+@query(
+    "emb_kmeans_lloyd_rounds",
+    oracle=f"""
+        WITH {_KM_SQL_Q},
+        qm AS (
+            SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM q
+        ), seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+                        AS BIGINT) AS cid, v
+            FROM qm ORDER BY h, vec_id LIMIT {KMEANS_K}
+        ),
+        {_km_sql_assign("a1", "seeds")},
+        {_km_sql_centroids("c1", "a1")},
+        {_km_sql_assign("a2", "c1")}
+        SELECT CAST(key % {KMEANS_K} AS BIGINT) AS cid,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM((key // {KMEANS_K}) >> 20) AS BIGINT)
+                   AS inertia_scaled
+        FROM a2
+        GROUP BY CAST(key % {KMEANS_K} AS BIGINT)
+        ORDER BY cid
+    """,
+    description=f"k-means (k={KMEANS_K}, 2 unrolled Lloyd rounds) on "
+    "the embedding table over an INTEGER LATTICE: vectors quantize to "
+    "2^20 micro-units, distances and per-dimension centroid sums are "
+    "exact int64 (|e| < 0.5 and dim 64 keep every squared distance "
+    "under 2^45), and updated centroids round back onto the lattice "
+    "via FLOOR of a single double division — so both engines walk "
+    "IDENTICAL centroid trajectories and the driver hash can check "
+    "an iterative ML algorithm bit-for-bit, which float k-means "
+    "fundamentally cannot (cross-row double sums are order-"
+    "sensitive). Seeds are the 8 vectors with smallest "
+    "md5(vec_id) — deterministic, no RNG. Scale shape: per round, "
+    "one broadcast of 8 centroids + one map-side distance argmin "
+    "(encoded MIN(d2*k+cid) — no window), one posexplode shuffle at "
+    "(cid x dim) grain for the update; rounds are a fixed small "
+    "constant, the classic broadcast-iteration pattern (same family "
+    "as the IVF trainer). Inertia is reported >>20 per row so the "
+    "total stays int64-exact at any corpus size.",
+)
+def emb_kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda e: F.floor(e.cast("double") * F.lit(float(KMEANS_SCALE))).cast(
+                "bigint"
+            ),
+        ).alias("v"),
+    )
+    qm = q.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+    seeds = (
+        qm.orderBy("h", "vec_id")
+        .limit(KMEANS_K)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+            )
+            .cast("bigint")
+            .alias("cid"),
+            "v",
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            q.crossJoin(
+                F.broadcast(cents.select("cid", F.col("v").alias("cv")))
+            )
+            .select("vec_id", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.col("d2") * KMEANS_K + F.col("cid")).alias("key"))
+        )
+
+    def centroids(assigned: DataFrame) -> DataFrame:
+        e = assigned.join(q, "vec_id").select(
+            (F.col("key") % KMEANS_K).cast("bigint").alias("cid"), "v"
+        )
+        n = e.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        dims = (
+            e.select("cid", F.posexplode("v").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(F.sum("val").cast("bigint").alias("s"))
+        )
+        return (
+            dims.join(n, "cid")
+            .select(
+                "cid",
+                "i",
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "c"))),
+                    lambda x: x["c"],
+                ).alias("v")
+            )
+        )
+
+    a2 = assign(centroids(assign(seeds)))
+    return (
+        a2.select(
+            (F.col("key") % KMEANS_K).cast("bigint").alias("cid"),
+            F.shiftright(
+                F.expr(f"key div {KMEANS_K}").cast("bigint"), 20
+            ).alias("d2s"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("d2s").cast("bigint").alias("inertia_scaled"),
+        )
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------------- BPE merge rounds
+
+BPE_ROUNDS = 3
+
+# Symbol sequences are carried as separator-wrapped strings
+# ("·a··b··c·"): each symbol sits inside its OWN '·' fences, so the
+# merge of pair (a,b) is a plain left-to-right non-overlapping
+# replace('·a··b·' -> '·ab·') in BOTH engines — replacing never
+# consumes a neighbor's fence, and greedy-left replace() is exactly
+# BPE's merge order (e.g. 'aaa' + (a,a) -> 'aa','a').
+
+_BPE_SQL_WORDS = r"""
+    words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS w
+            FROM documents
+        )
+        WHERE regexp_matches(w, '^[a-z]{2,}$')
+        GROUP BY w
+    ), r0 AS (
+        SELECT c,
+               '·' || array_to_string(
+                   list_filter(string_split_regex(w, ''), x -> x <> ''),
+                   '··') || '·' AS s
+        FROM words
+    )
+"""
+
+
+def _bpe_sql_pairs(name: str, src: str) -> str:
+    return f"""
+        {name}_p AS (
+            SELECT p[1] AS pa, p[2] AS pb, CAST(SUM(c) AS BIGINT) AS cnt
+            FROM (
+                SELECT c,
+                       unnest(list_transform(
+                           range(1, len(syms)),
+                           i -> [syms[i], syms[i + 1]])) AS p
+                FROM (
+                    SELECT c,
+                           list_filter(string_split(trim(s, '·'), '··'),
+                                       x -> x <> '') AS syms
+                    FROM {src}
+                )
+            )
+            GROUP BY 1, 2
+        ), {name} AS (
+            SELECT pa, pb, cnt FROM {name}_p
+            ORDER BY cnt DESC, pa, pb LIMIT 1
+        )
+    """
+
+
+def _bpe_sql_merge(name: str, src: str, best: str) -> str:
+    return f"""
+        {name} AS (
+            SELECT c,
+                   replace(s, '·' || pa || '··' || pb || '·',
+                           '·' || pa || pb || '·') AS s
+            FROM {src}, {best}
+        )
+    """
+
+
+@query(
+    "text_bpe_merge_rounds",
+    oracle=f"""
+        WITH {_BPE_SQL_WORDS},
+        {_bpe_sql_pairs("b1", "r0")},
+        {_bpe_sql_merge("r1", "r0", "b1")},
+        {_bpe_sql_pairs("b2", "r1")},
+        {_bpe_sql_merge("r2", "r1", "b2")},
+        {_bpe_sql_pairs("b3", "r2")}
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS merge_round, pa AS left_sym,
+                   pb AS right_sym, cnt AS pair_count FROM b1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), pa, pb, cnt FROM b2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), pa, pb, cnt FROM b3
+        )
+        ORDER BY merge_round
+    """,
+    description=f"Byte-pair-encoding trainer, first {BPE_ROUNDS} merge "
+    "rounds — the tokenizer-construction primitive of every LLM data "
+    "pipeline. The trainer's classic scale property is exploited "
+    "directly: pair statistics are computed on the DISTINCT-WORD "
+    "table weighted by word frequency, never on the corpus — and the "
+    "distinct-word table saturates (Heaps' law), so each round is a "
+    "pass over a vocabulary-bounded relation regardless of corpus "
+    "size; the corpus itself is read once for the word counts. Each "
+    "round: adjacent-symbol pairs via two array slices zipped "
+    "(weighted by word count), global argmax with deterministic "
+    "(count DESC, pair ASC) tie-break via TakeOrdered(1), broadcast "
+    "of the 1-row winner, and the merge applied as a fence-wrapped "
+    "string replace (see module comment) — greedy-left replace IS "
+    "BPE merge order, identically in both engines. Output: the "
+    "merged pair and its frequency per round.",
+)
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cur = words.select(
+        "c",
+        F.concat(
+            F.lit("·"),
+            F.array_join(
+                F.filter(F.split("w", ""), lambda x: x != ""), "··"
+            ),
+            F.lit("·"),
+        ).alias("s"),
+    )
+    bests = []
+    for _ in range(BPE_ROUNDS):
+        syms = F.filter(
+            F.split(F.expr("trim(BOTH '·' FROM s)"), "··"),
+            lambda x: x != "",
+        )
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("pa"), b.alias("pb")),
+        )
+        best = (
+            cur.select("c", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("c").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb")
+            .limit(1)
+        )
+        bests.append(best)
+        cur = cur.crossJoin(F.broadcast(best.select("pa", "pb"))).select(
+            "c",
+            F.expr(
+                "replace(s, concat('·', pa, '··', pb, '·'),"
+                " concat('·', pa, pb, '·'))"
+            ).alias("s"),
+        )
+    out = None
+    for i, b in enumerate(bests, start=1):
+        row = b.select(
+            F.lit(i).cast("bigint").alias("merge_round"),
+            F.col("pa").alias("left_sym"),
+            F.col("pb").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_round")
+
+
+# ------------------------------------------------- perceptual hash
+
+_PHASH_SQL_HEXB = (
+    "(strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16 "
+    "+ (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1)"
+)
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+        WITH ph AS (
+            SELECT doc_id, source, md5(text) AS hx FROM documents
+        ), pix AS (
+            SELECT doc_id, source,
+                   list_transform(range(0, 16),
+                                  i -> CAST({_PHASH_SQL_HEXB} AS BIGINT))
+                       AS b
+            FROM ph
+        ), hashes AS (
+            SELECT doc_id, source,
+                   CAST(list_sum(list_transform(range(0, 60), j ->
+                       CASE WHEN b[(j % 16) + 1] * 64
+                                 > 4 * list_sum(b)
+                            THEN CAST(1 AS BIGINT) << j
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                       AS phash
+            FROM pix
+        ), clusters AS (
+            SELECT source, phash, CAST(COUNT(*) AS BIGINT) AS n
+            FROM hashes GROUP BY source, phash
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_phash,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+               CAST(MAX(n) AS BIGINT) AS max_cluster
+        FROM clusters
+        GROUP BY source
+        ORDER BY source
+    """,
+    description="Perceptual-hash (aHash) image dedup over the binary "
+    "payload lane: payloads flow through the Arrow-batched "
+    "mapInPandas perceptual_hash operator (decode -> 8x8 grid -> "
+    "60-bit mean-threshold fingerprint packed in int64), then one "
+    "16-byte-key shuffle groups identical fingerprints per source — "
+    "the visually-identical-image collapse every multimodal training "
+    "pipeline runs before embedding, at 1/1000th the cost (the hash "
+    "is 8 bytes vs a full CLIP call). Runs the deterministic fake "
+    "decode so the DuckDB oracle can recompute every fingerprint "
+    "from md5 nibbles with EXACT integer thresholds (pixel*64 > "
+    "sum(pixels) — no float mean), proving the distributed Python "
+    "lane bit-identical to SQL; the real PNM/BMP decode path of the "
+    "same operator is pinned by pytest. Near-dup (hamming-banded) "
+    "extension rides the existing simhash banding machinery.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs, "text")
+    ph = perceptual_hash(with_payload, fake=True)
+    clusters = (
+        ph.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "phash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        clusters.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_phash"),
+            (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_dup_docs"),
+            F.max("n").cast("bigint").alias("max_cluster"),
+        )
+        .orderBy("source")
     )

@@ -124,6 +124,58 @@ def test_extract_features_rejects_16bit_pnm(spark):
         extract_features(df, fake=False).collect()
 
 
+def test_perceptual_hash_real_and_fake(spark):
+    # Real mode: phash from block-mean pooling must match a direct
+    # recomputation via decode_image (pins the inline decoder copy);
+    # fake mode: exact integer threshold over the md5-derived pixels.
+    import hashlib
+
+    import numpy as np
+
+    from aws_healthcare_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        perceptual_hash,
+    )
+
+    rgb = (np.arange(16 * 24 * 3, dtype=np.uint32) * 97 % 256).astype(np.uint8)
+    rgb = rgb.reshape(16, 24, 3)
+    gray = (np.arange(9 * 11, dtype=np.uint32) * 41 % 256).astype(np.uint8)
+    gray = gray.reshape(9, 11)
+    payloads = {1: encode_ppm(rgb), 2: encode_bmp(rgb), 3: encode_ppm(gray)}
+
+    def expect_real(payload):
+        img = decode_image(payload)
+        if img.ndim == 3:
+            img = img.astype("float64").mean(axis=2)
+        img = img.astype("float64")
+        ih, iw = img.shape
+        h8, w8 = ih // 8 * 8, iw // 8 * 8
+        blocks = img[:h8, :w8].reshape(8, h8 // 8, 8, w8 // 8).mean(axis=(1, 3))
+        flat = blocks.ravel()
+        return sum(1 << j for j in range(60) if flat[j] > flat.mean())
+
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.phash for r in perceptual_hash(df, fake=False).collect()}
+    assert got == {k: expect_real(v) for k, v in payloads.items()}
+    # PPM and BMP of the same pixels -> identical perceptual hash
+    assert got[1] == got[2]
+
+    def expect_fake(payload):
+        pixels = list(hashlib.md5(payload).digest()) * 4
+        total = sum(pixels)
+        return sum(1 << j for j in range(60) if pixels[j] * 64 > total)
+
+    got_fake = {
+        r.doc_id: r.phash for r in perceptual_hash(df, fake=True).collect()
+    }
+    assert got_fake == {k: expect_fake(v) for k, v in payloads.items()}
+
+
 def test_binary_payload_and_features(spark):
     df = spark.createDataFrame(
         [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"
