@@ -71,73 +71,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-window ordering. The driver checks the FIRST ~50 entries
-# of queries() each round; rounds 1-3 verified 146 distinct queries green
-# (CORRECTNESS_r01/r02/r03, zero unfixed failures). Round 4 rotates those
-# to the back and front-loads 50 queries that have NEVER had a driver
-# correctness row, in the judge's priority order (VERDICT r3 "Next
-# round" #1): the round-3 waves first (distributed running total, BM25,
-# SQ-int8 ANN, incremental dedup, dedup-method agreement, k-core,
-# recursive CTE / LATERAL, EWMA, source mixing, padding audit, kNN eval,
-# streaming approx-distinct, LTV triangle, HHI, inter-arrival, Heaps
-# growth, burstiness, fixed-width ingest, corpus card, Simpson
-# diversity), then this round's ANN recall bake-off (VERDICT #7), then
-# the wave 5-27 residue. Remaining never-checked queries follow
-# immediately after slot 50 so a wider window picks them up;
-# previously-green entries trail at the end via _ordered_names (still
+# of queries() each round; rounds 1-4 verified 196 distinct queries green
+# (CORRECTNESS_r01-r04, zero unfixed failures). Round 5 front-loads the
+# LAST 47 queries that have never had a driver correctness row (the
+# wave 5-27 residue + the wave-39 additions), then the three most novel
+# wave-40 queries (integer-lattice k-means, the BPE trainer, the
+# perceptual-hash lane). Past slot 50: the remaining wave-40 additions,
+# then the two r5 REWRITES (dedup_method_agreement, events_ewma_daily_
+# value - both re-verified at sf0.01 by the in-repo driver sim after
+# their rewrites, queued here for fresh driver rows if the window is
+# wider). Previously-green entries trail via _ordered_names (still
 # covered by the sf0.001 pytest parity gate every round).
 _VERIFICATION_PRIORITY = [
-    # --- front 50: never driver-checked (r4 rotation) ---
-    "orders_running_total_distributed",
-    "search_bm25_topk",
-    "sim_sq_int8_topk",
-    "pipeline_incremental_dedup",
-    "dedup_method_agreement",
-    "graph_kcore_rounds",
-    "sql_recursive_month_spine",
-    "sql_lateral_topn_per_nation",
-    "events_ewma_daily_value",
-    "pipeline_source_mixing_weights",
-    "pipeline_length_bucket_padding",
-    "emb_knn_label_accuracy",
-    "streaming_daily_distinct_users",
-    "orders_cohort_ltv_triangle",
-    "supplier_hhi_by_part_type",
-    "events_interarrival_stats",
-    "text_vocab_growth_curve",
-    "events_burstiness_index",
-    "format_fixed_width_ingest",
-    "pipeline_corpus_card",
-    "token_simpson_diversity_by_lang",
-    "sim_ann_recall_bakeoff",
-    "regr_price_trend_by_brand",
-    "outliers_mad_orders",
-    "profile_orders_audit",
-    "events_markov_transitions",
-    "events_rolling_wau",
-    "orders_incremental_rollup",
-    "time_hierarchy_rollup",
-    "basket_part_pairs",
-    "price_histogram",
-    "chisq_segment_priority",
-    "sampling_pps_orders",
-    "inverted_index_top_terms",
-    "share_of_parent_revenue",
-    "timeseries_gapfill_ffill",
-    "gini_customer_spend",
-    "welch_ttest_price_segments",
-    "referential_integrity_audit",
-    "table_diff_changelog",
-    "token_diversity_by_lang",
-    "weighted_median_price_per_flag",
-    "revenue_mom_yoy",
-    "pareto_frontier_parts",
-    "skew_profile_supplier_keys",
-    "winsorized_price_stats",
-    "sampling_group_disjoint_split",
-    "dedup_canonical_selection",
-    "pareto_80_20_customers",
-    "reconcile_order_totals",
-    # --- never checked, continue past slot 50 (bonus if window wider) ---
+    # --- front 50: never driver-checked ---
     "funnel_conversion_lag_stats",
     "degree_distribution_suppliers",
     "map_function_battery",
@@ -178,7 +124,6 @@ _VERIFICATION_PRIORITY = [
     "join_null_safe_equality",
     "agg_listagg_ordered",
     "agg_bitwise_battery",
-    # --- wave 39 (round 4): new, never checked ---
     "supplier_ontime_wilson_rank",
     "text_zipf_rank_frequency",
     "quality_linear_classifier",
@@ -186,6 +131,18 @@ _VERIFICATION_PRIORITY = [
     "graph_label_propagation_rounds",
     "events_approx_quantile_band",
     "multimodal_real_decode_stats",
+    "emb_kmeans_lloyd_rounds",
+    "text_bpe_merge_rounds",
+    "multimodal_phash_dedup",
+    # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
+    "privacy_k_anonymity_audit",
+    "events_autocorrelation_daily",
+    "trend_mann_kendall_monthly",
+    "join_salted_skew_equivalence",
+    "sql_pivot_quarterly_revenue",
+    "orders_cum_distinct_customers",
+    "dedup_method_agreement",
+    "events_ewma_daily_value",
 ]
 
 
