@@ -143,6 +143,10 @@ _VERIFICATION_PRIORITY = [
     "orders_cum_distinct_customers",
     "dedup_method_agreement",
     "events_ewma_daily_value",
+    "stat_ks_two_sample",
+    "emb_triplet_margin_audit",
+    "text_rake_keyphrases",
+    "multimodal_audio_frame_energy",
 ]
 
 

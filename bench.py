@@ -111,6 +111,21 @@ HEADLINE = [
     "dedup_method_agreement",
     "text_vocab_growth_curve",
     "events_burstiness_index",
+    # round 5 additions: wave 40
+    "emb_kmeans_lloyd_rounds",
+    "text_bpe_merge_rounds",
+    "multimodal_phash_dedup",
+    "join_salted_skew_equivalence",
+    "events_autocorrelation_daily",
+    "trend_mann_kendall_monthly",
+    "privacy_k_anonymity_audit",
+    "sql_pivot_quarterly_revenue",
+    "orders_cum_distinct_customers",
+    # round 5 additions: wave 41
+    "stat_ks_two_sample",
+    "emb_triplet_margin_audit",
+    "text_rake_keyphrases",
+    "multimodal_audio_frame_energy",
 ]
 
 
