@@ -352,3 +352,44 @@ def test_r3_global_window_rewrites(spark, sf_dir):
     plan = physical_plan(REGISTRY["pareto_frontier_parts"].fn(spark, sf_dir))
     assert "windowspecdefinition(_xb" in plan, plan
     assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_r5_scale_shapes(spark, sf_dir):
+    """r5 wave pins: the new operators keep their scale-safe shapes."""
+    # KS: ECDFs via the cumsum decomposition — value-grain windows are
+    # partitioned by the price band; every SinglePartition exchange
+    # feeds a scalar or band-grain aggregate (bounded spine), never
+    # value-grain rows
+    plan = physical_plan(REGISTRY["stat_ks_two_sample"].fn(spark, sf_dir))
+    assert "windowspecdefinition(band" in plan, plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg[:400]
+        assert (
+            "HashAggregate(keys=[]" in head
+            or "HashAggregate(keys=[band" in head
+        ), plan
+    # k-means: centroids ride broadcasts; no cartesian product, and the
+    # only joins on corpus-grain rows are equi joins on vec_id
+    plan = physical_plan(REGISTRY["emb_kmeans_lloyd_rounds"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # salted join: the probe joins on (suppkey, salt) — both keys must
+    # reach the join, and the salt replication must not plan as a
+    # cartesian product
+    plan = physical_plan(
+        REGISTRY["join_salted_skew_equivalence"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "salt" in plan, plan
+    # phash rides the Arrow mapInPandas lane
+    plan = physical_plan(REGISTRY["multimodal_phash_dedup"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    # triplet audit: candidate ranking windows are (anchor, side)-
+    # partitioned — never a global window
+    plan = physical_plan(
+        REGISTRY["emb_triplet_margin_audit"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition(a_id" in plan, plan
+    # BPE: each round's argmax is TakeOrdered(1), not a global sort
+    plan = physical_plan(REGISTRY["text_bpe_merge_rounds"].fn(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
