@@ -147,6 +147,9 @@ _VERIFICATION_PRIORITY = [
     "emb_triplet_margin_audit",
     "text_rake_keyphrases",
     "multimodal_audio_frame_energy",
+    "search_trigram_fuzzy_parts",
+    "orders_backlog_daily",
+    "emb_cosine_pair_histogram",
 ]
 
 

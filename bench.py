@@ -126,6 +126,10 @@ HEADLINE = [
     "emb_triplet_margin_audit",
     "text_rake_keyphrases",
     "multimodal_audio_frame_energy",
+    # round 5 additions: wave 42
+    "search_trigram_fuzzy_parts",
+    "orders_backlog_daily",
+    "emb_cosine_pair_histogram",
 ]
 
 
