@@ -150,6 +150,8 @@ _VERIFICATION_PRIORITY = [
     "search_trigram_fuzzy_parts",
     "orders_backlog_daily",
     "emb_cosine_pair_histogram",
+    "join_bucketed_colocated",
+    "text_hashing_trick_collisions",
 ]
 
 

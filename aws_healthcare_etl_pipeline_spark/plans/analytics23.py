@@ -335,3 +335,162 @@ def emb_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("bin")
     )
+
+
+# ------------------------------------------ bucketed co-located join
+
+BUCKET_N = 8
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT date_trunc('month', o.o_orderdate) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        ORDER BY month
+    """,
+    description=f"Bucketed co-located fact-to-fact join: both lineitem "
+    f"and orders are persisted as {BUCKET_N}-bucket tables keyed and "
+    "sorted on the order key, then joined through the catalog — the "
+    "planner elides BOTH shuffle exchanges (pinned by "
+    "tests/test_plans.py::test_bucketed_join_has_no_exchange), which "
+    "is the 100 TB play for any fact join repeated across daily "
+    "runs: the shuffle is paid ONCE at write time, every subsequent "
+    "join is a local merge per bucket. The oracle is the plain "
+    "unbucketed textbook join — the hash match proves the bucketed "
+    "physical layout computes the identical relation. Write + "
+    "catalog round-trip happens inside the query (a managed-table "
+    "side effect, same family as ref_ingest_roundtrip).",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketing import bucketed_join, write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed_table(
+        li, "q_bkt_lineitem", ["l_orderkey"], BUCKET_N,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed_table(
+        orders, "q_bkt_orders", ["l_orderkey"], BUCKET_N,
+        sort_cols=["l_orderkey"],
+    )
+    joined = bucketed_join(spark, "q_bkt_lineitem", "q_bkt_orders", "l_orderkey")
+    return (
+        joined.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+# ------------------------------------------ hashing-trick collisions
+
+HASHING_KS = (8, 10, 12)  # feature-space sizes 2^k
+
+
+@query(
+    "text_hashing_trick_collisions",
+    oracle=f"""
+        WITH vocab AS (
+            SELECT DISTINCT unnest(
+                regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT tok,
+                   list_reduce(
+                     list_transform(
+                       string_split_regex(substr(md5(tok), 1, 15), ''),
+                       c -> strpos('0123456789abcdef', c) - 1)::BIGINT[],
+                     (a, b) -> a * 16 + b) AS h
+            FROM vocab WHERE tok <> ''
+        ), ks AS (
+            SELECT unnest([{", ".join(str(k) for k in HASHING_KS)}]) AS k
+        ), loads AS (
+            SELECT k, h % (CAST(1 AS BIGINT) << k) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS load
+            FROM ks CROSS JOIN hashed
+            GROUP BY 1, 2
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(SUM(load) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+               CAST(MAX(load) AS BIGINT) AS max_bucket_load,
+               CAST(SUM(load) - COUNT(*) AS DOUBLE)
+                   / CAST(SUM(load) AS DOUBLE) AS collision_fraction
+        FROM loads
+        GROUP BY k
+        ORDER BY k
+    """,
+    description="Hashing-trick feature-space audit: the distinct "
+    "vocabulary is hashed into 2^k buckets for k in {8,10,12} with "
+    "the md5-derived 60-bit portable hash, and the audit reports "
+    "buckets used, worst bucket load, and the collision fraction — "
+    "the measurement that picks the feature-space size before "
+    "committing a hashed bag-of-words / categorical encoder at "
+    "100 TB (collisions silently merge features; too many buckets "
+    "waste model width). Vocabulary is Heaps-bounded, so the "
+    "3-way k expansion joins a saturating relation, not the corpus; "
+    "hash and modulus are exact integers in both engines; the one "
+    "double is the final fraction.",
+)
+def text_hashing_trick_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    hashed = vocab.select(
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    ks = spark.createDataFrame([(k,) for k in HASHING_KS], "k int")
+    # shiftleft needs expr-form for a column shift amount
+    loads = (
+        F.broadcast(ks)
+        .crossJoin(hashed)
+        .select(
+            "k",
+            F.expr("h % shiftleft(cast(1 as bigint), k)").alias("bucket"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("load"))
+    )
+    return (
+        loads.groupBy("k")
+        .agg(
+            F.sum("load").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+            F.max("load").cast("bigint").alias("max_bucket_load"),
+            (
+                (F.sum("load") - F.count(F.lit(1))).cast("double")
+                / F.sum("load").cast("double")
+            ).alias("collision_fraction"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_tokens",
+            "n_buckets_used",
+            "max_bucket_load",
+            "collision_fraction",
+        )
+        .orderBy("k")
+    )

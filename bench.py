@@ -130,6 +130,8 @@ HEADLINE = [
     "search_trigram_fuzzy_parts",
     "orders_backlog_daily",
     "emb_cosine_pair_histogram",
+    "join_bucketed_colocated",
+    "text_hashing_trick_collisions",
 ]
 
 
