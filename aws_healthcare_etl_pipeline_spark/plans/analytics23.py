@@ -367,7 +367,19 @@ BUCKET_N = 8
     "side effect, same family as ref_ingest_roundtrip).",
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
     from ..sources.bucketing import bucketed_join, write_bucketed_table
+
+    # saveAsTable(overwrite) cannot reclaim a managed-table LOCATION the
+    # current session's catalog has no entry for (a previous session's
+    # leftover) — drop both the catalog entry and any orphan directory.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    for t in ("q_bkt_lineitem", "q_bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(f"{wh.path}/{t}", ignore_errors=True)
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
