@@ -226,21 +226,19 @@ def emb_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("a_v"),
         )
     )
-    cand = (
-        F.broadcast(anchors)
-        .crossJoin(
-            q.select(
-                F.col("vec_id").alias("c_id"),
-                F.col("label").alias("c_label"),
-                F.col("v").alias("c_v"),
-            )
-        )
-        .filter(F.col("c_id") != F.col("a_id"))
-        .select(
+    # Candidate stream: (anchor x corpus) via broadcast — kept SLIM
+    # (ids + md5 key only, never the vectors): the r5 sweep measured
+    # exp 1.21 when the rank window shuffled 64-long arrays for every
+    # candidate (~4 GB at sf1). The winner per (anchor, side) is a
+    # MIN(hk) aggregation instead of a rank window — map-side partials
+    # reduce the shuffle to 2 x panel rows — and the winning keys
+    # broadcast-join back against a recomputed candidate stream to
+    # fetch the single chosen vector per side. The oracle keeps the
+    # textbook rank-window form; the hash match proves the
+    # decomposition.
+    def cand_stream(with_vec: bool):
+        cols = [
             "a_id",
-            "a_v",
-            "c_id",
-            "c_v",
             (F.col("c_label") == F.col("a_label")).alias("is_same"),
             F.md5(
                 F.concat(
@@ -249,14 +247,31 @@ def emb_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_id").cast("string"),
                 )
             ).alias("hk"),
+        ]
+        if with_vec:
+            cols += ["a_v", "c_v"]
+        return (
+            F.broadcast(
+                anchors if with_vec
+                else anchors.select("a_id", "a_label")
+            )
+            .crossJoin(
+                q.select(
+                    F.col("vec_id").alias("c_id"),
+                    F.col("label").alias("c_label"),
+                    F.col("v").alias("c_v"),
+                )
+            )
+            .filter(F.col("c_id") != F.col("a_id"))
+            .select(*cols)
         )
+
+    winners = cand_stream(with_vec=False).groupBy("a_id", "is_same").agg(
+        F.min("hk").alias("hk")
     )
-    w = Window.partitionBy("a_id", "is_same").orderBy("hk", "c_id")
-    chosen = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("a_id", "a_v", "is_same", "c_v")
-    )
+    chosen = cand_stream(with_vec=True).join(
+        F.broadcast(winners), ["a_id", "is_same", "hk"]
+    ).select("a_id", "a_v", "is_same", "c_v")
     d2 = F.aggregate(
         F.zip_with("a_v", "c_v", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("bigint"),
