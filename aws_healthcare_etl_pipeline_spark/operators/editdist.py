@@ -116,8 +116,18 @@ def edit_distance_candidates(
     keyed = keyed.localCheckpoint(eager=False)
     a = keyed.select(F.col(id_col).alias("_aid"), F.col("_key").alias("_akey"))
     b = keyed.select(F.col(id_col).alias("_bid"), F.col("_key").alias("_bkey"))
+    # The key self-join is corpus x variants on BOTH sides — pin it
+    # to sort-merge: 16-byte (id, hash) rows compress far below the
+    # 64 MB auto-broadcast threshold at fixture scale while the
+    # deserialized relation is GBs (AQE broadcast promotion = driver
+    # OOM, observed at sf3), and shuffled-hash builds blow up on the
+    # skewed variant-hash blocks this workload produces — SMJ is the
+    # only fully spillable choice for a big-big skewed join.
     pairs = (
-        a.join(b, (F.col("_akey") == F.col("_bkey")) & (F.col("_aid") < F.col("_bid")))
+        a.join(
+            b.hint("merge"),
+            (F.col("_akey") == F.col("_bkey")) & (F.col("_aid") < F.col("_bid")),
+        )
         .select("_aid", "_bid")
         .distinct()
     )
@@ -129,9 +139,17 @@ def edit_distance_candidates(
         F.col(id_col).alias(f"b_{id_col}"),
         *[F.col(c).alias(f"b_{c}") for c in side_cols],
     )
+    # Payload-return joins are big-to-big at scale (pairs grow with
+    # the workload's match density, sides with the corpus): pin them
+    # to sort-merge so AQE can never promote either relation to a
+    # driver broadcast — (id, id) pair shuffles compress so well that
+    # runtime size stats underestimate the deserialized relation by
+    # orders of magnitude (measured: driver broadcast OOM at sf3).
     wide = pairs.join(
-        a_side, F.col("_aid") == F.col(f"a_{id_col}")
-    ).join(b_side, F.col("_bid") == F.col(f"b_{id_col}")).drop("_aid", "_bid")
+        a_side.hint("merge"), F.col("_aid") == F.col(f"a_{id_col}")
+    ).join(
+        b_side.hint("merge"), F.col("_bid") == F.col(f"b_{id_col}")
+    ).drop("_aid", "_bid")
     # residual: blocks folded into the hash are only PROBABLY equal
     for c in block_cols:
         wide = wide.filter(F.col(f"a_{c}") == F.col(f"b_{c}"))
