@@ -152,6 +152,8 @@ _VERIFICATION_PRIORITY = [
     "emb_cosine_pair_histogram",
     "join_bucketed_colocated",
     "text_hashing_trick_collisions",
+    "pipeline_bpe_tokenize_apply",
+    "events_watermark_lateness_profile",
 ]
 
 

@@ -692,7 +692,7 @@ _BPE_SQL_WORDS = r"""
         WHERE regexp_matches(w, '^[a-z]{2,}$')
         GROUP BY w
     ), r0 AS (
-        SELECT c,
+        SELECT w, c,
                '·' || array_to_string(
                    list_filter(string_split_regex(w, ''), x -> x <> ''),
                    '··') || '·' AS s
@@ -728,12 +728,66 @@ def _bpe_sql_pairs(name: str, src: str) -> str:
 def _bpe_sql_merge(name: str, src: str, best: str) -> str:
     return f"""
         {name} AS (
-            SELECT c,
+            SELECT w, c,
                    replace(s, '·' || pa || '··' || pb || '·',
                            '·' || pa || pb || '·') AS s
             FROM {src}, {best}
         )
     """
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: returns ([best-pair DFs per round], r0 word
+    table with fenced symbol strings, final merged word table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cur = words.select(
+        "w",
+        "c",
+        F.concat(
+            F.lit("·"),
+            F.array_join(
+                F.filter(F.split("w", ""), lambda x: x != ""), "··"
+            ),
+            F.lit("·"),
+        ).alias("s"),
+    )
+    r0 = cur
+    bests = []
+    for _ in range(BPE_ROUNDS):
+        syms = F.filter(
+            F.split(F.expr("trim(BOTH '·' FROM s)"), "··"),
+            lambda x: x != "",
+        )
+        pairs = F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda a, b: F.struct(a.alias("pa"), b.alias("pb")),
+        )
+        best = (
+            cur.select("c", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("c").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb")
+            .limit(1)
+        )
+        bests.append(best)
+        cur = cur.crossJoin(F.broadcast(best.select("pa", "pb"))).select(
+            "w",
+            "c",
+            F.expr(
+                "replace(s, concat('·', pa, '··', pb, '·'),"
+                " concat('·', pa, pb, '·'))"
+            ).alias("s"),
+        )
+    return bests, r0, cur
 
 
 @query(
@@ -772,51 +826,7 @@ def _bpe_sql_merge(name: str, src: str, best: str) -> str:
     "merged pair and its frequency per round.",
 )
 def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
-        )
-        .filter(F.col("w").rlike("^[a-z]{2,}$"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    cur = words.select(
-        "c",
-        F.concat(
-            F.lit("·"),
-            F.array_join(
-                F.filter(F.split("w", ""), lambda x: x != ""), "··"
-            ),
-            F.lit("·"),
-        ).alias("s"),
-    )
-    bests = []
-    for _ in range(BPE_ROUNDS):
-        syms = F.filter(
-            F.split(F.expr("trim(BOTH '·' FROM s)"), "··"),
-            lambda x: x != "",
-        )
-        pairs = F.zip_with(
-            F.slice(syms, 1, F.size(syms) - 1),
-            F.slice(syms, 2, F.size(syms) - 1),
-            lambda a, b: F.struct(a.alias("pa"), b.alias("pb")),
-        )
-        best = (
-            cur.select("c", F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-            .agg(F.sum("c").cast("bigint").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "pa", "pb")
-            .limit(1)
-        )
-        bests.append(best)
-        cur = cur.crossJoin(F.broadcast(best.select("pa", "pb"))).select(
-            "c",
-            F.expr(
-                "replace(s, concat('·', pa, '··', pb, '·'),"
-                " concat('·', pa, pb, '·'))"
-            ).alias("s"),
-        )
+    bests, _, _ = _bpe_learn(spark, sf_dir)
     out = None
     for i, b in enumerate(bests, start=1):
         row = b.select(

@@ -132,6 +132,9 @@ HEADLINE = [
     "emb_cosine_pair_histogram",
     "join_bucketed_colocated",
     "text_hashing_trick_collisions",
+    # round 5 additions: wave 44
+    "pipeline_bpe_tokenize_apply",
+    "events_watermark_lateness_profile",
 ]
 
 
