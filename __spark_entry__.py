@@ -154,6 +154,7 @@ _VERIFICATION_PRIORITY = [
     "text_hashing_trick_collisions",
     "pipeline_bpe_tokenize_apply",
     "events_watermark_lateness_profile",
+    "streaming_token_bucket_quota",
 ]
 
 

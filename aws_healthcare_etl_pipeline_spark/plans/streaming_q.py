@@ -464,3 +464,128 @@ def streaming_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+RATE_CAP_MILLI = 2000  # 2-token bucket
+RATE_REFILL_US = 21_600_000_000  # 1 token per 6 hours
+
+
+def _rate_t2(cap: int, refill: int) -> str:
+    return f"LEAST({cap}, s.tokens + (g.gap_us * 1000) // {refill})"
+
+
+@query(
+    "streaming_token_bucket_quota",
+    oracle=f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ), gaps AS (
+            SELECT user_id, rn, ts_us,
+                   ts_us - lag(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY rn
+                   ) AS gap_us
+            FROM ev
+        ), sim AS (
+            SELECT user_id, rn,
+                   CASE WHEN {RATE_CAP_MILLI} >= 1000
+                        THEN {RATE_CAP_MILLI} - 1000
+                        ELSE {RATE_CAP_MILLI} END AS tokens,
+                   CASE WHEN {RATE_CAP_MILLI} >= 1000
+                        THEN 1 ELSE 0 END AS adm,
+                   CASE WHEN {RATE_CAP_MILLI} >= 1000
+                        THEN 0 ELSE 1 END AS den
+            FROM gaps WHERE rn = 1
+            UNION ALL
+            SELECT g.user_id, g.rn,
+                   CASE WHEN {_rate_t2(RATE_CAP_MILLI, RATE_REFILL_US)}
+                             >= 1000
+                        THEN {_rate_t2(RATE_CAP_MILLI, RATE_REFILL_US)}
+                             - 1000
+                        ELSE {_rate_t2(RATE_CAP_MILLI, RATE_REFILL_US)}
+                        END,
+                   s.adm + CASE WHEN
+                       {_rate_t2(RATE_CAP_MILLI, RATE_REFILL_US)} >= 1000
+                       THEN 1 ELSE 0 END,
+                   s.den + CASE WHEN
+                       {_rate_t2(RATE_CAP_MILLI, RATE_REFILL_US)} >= 1000
+                       THEN 0 ELSE 1 END
+            FROM sim s
+            JOIN gaps g
+              ON g.user_id = s.user_id AND g.rn = s.rn + 1
+        ), final AS (
+            SELECT user_id, rn, tokens, adm, den,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY rn DESC
+                   ) AS rr
+            FROM sim
+        )
+        SELECT user_id,
+               CAST(rn AS BIGINT) AS n_events,
+               CAST(adm AS BIGINT) AS n_admitted,
+               CAST(den AS BIGINT) AS n_denied,
+               CAST(tokens AS BIGINT) AS tokens_milli
+        FROM final WHERE rr = 1
+        ORDER BY user_id
+    """,
+    description="Per-user token-bucket rate limiting as a CUSTOM "
+    "stateful streaming operator (applyInPandasWithState): a 2-token "
+    "bucket refilling 1 token per 6 hours admits or denies each event "
+    "in event-time order, with the bucket level + last timestamp "
+    "living in the checkpointed state store across micro-batches — "
+    "the admission-control primitive behind API quotas and ingest "
+    "throttles, inexpressible as windowed aggregation because the "
+    "recurrence is order-sensitive and non-associative. All "
+    "arithmetic is exact integer milli-tokens (floor refill), so the "
+    "DuckDB oracle can replay the identical simulation as a "
+    "RECURSIVE CTE over per-user event ranks — a full cross-engine "
+    "check of a stateful streaming program, recursion depth = max "
+    "events per key. State is 5 ints per key partitioned across "
+    "executors; the per-event Python loop is the honest cost of an "
+    "inherently sequential recurrence.",
+)
+def streaming_token_bucket_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ratelimit import token_bucket_admissions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = convert_events_ts(
+        spark.readStream.schema(
+            events_read_schema(os.path.join(sf_dir, "events.parquet"))
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    slim = stream.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    out = token_bucket_admissions(
+        slim, RATE_CAP_MILLI, RATE_REFILL_US
+    )
+    sink_name = f"stream_rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # n_seen grows monotonically: the emission with max n_seen per user
+    # is the final state even if the source split into micro-batches
+    return (
+        spark.table(sink_name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_seen").cast("bigint").alias("n_events"),
+            F.max_by("n_admitted", "n_seen").cast("bigint").alias("n_admitted"),
+            F.max_by("n_denied", "n_seen").cast("bigint").alias("n_denied"),
+            F.max_by("tokens_milli", "n_seen")
+            .cast("bigint")
+            .alias("tokens_milli"),
+        )
+        .orderBy("user_id")
+    )

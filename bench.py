@@ -135,6 +135,7 @@ HEADLINE = [
     # round 5 additions: wave 44
     "pipeline_bpe_tokenize_apply",
     "events_watermark_lateness_profile",
+    "streaming_token_bucket_quota",
 ]
 
 
