@@ -155,6 +155,8 @@ _VERIFICATION_PRIORITY = [
     "pipeline_bpe_tokenize_apply",
     "events_watermark_lateness_profile",
     "streaming_token_bucket_quota",
+    "format_csv_dialect_battery",
+    "dedup_minhash_estimator_error",
 ]
 
 

@@ -18,6 +18,7 @@ from .analytics21 import (
     _bpe_sql_merge,
     _bpe_sql_pairs,
 )
+from .llm_dedup import SQL_CORPUS_SHINGLES
 from .registry import query
 
 # -------------------------------------------- BPE tokenize (apply)
@@ -200,4 +201,158 @@ def events_watermark_lateness_profile(
             "n_events",
         )
         .orderBy("bucket_id")
+    )
+
+
+# --------------------------------- minhash estimator-error audit
+
+MH_EVAL_HASHES = 32
+MH_EVAL_PANEL = 300
+
+_MH_SQL_NUM = (
+    "list_reduce(list_transform("
+    "string_split_regex(substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15),"
+    " ''), c -> strpos('0123456789abcdef', c) - 1)::BIGINT[],"
+    " (a, b) -> a * 16 + b)"
+)
+
+
+@query(
+    "dedup_minhash_estimator_error",
+    oracle=f"""
+        WITH {{corpus_shingles}},
+        pm AS (
+            SELECT GREATEST(CAST(FLOOR(COUNT(*) / {MH_EVAL_PANEL}.0)
+                                 AS BIGINT), 1) AS panel_mod
+            FROM sh
+        ), panel AS (
+            SELECT doc_id, shingles,
+                   list_transform(range(0, {MH_EVAL_HASHES}), k ->
+                       list_min(list_transform(shingles,
+                                               s -> {_MH_SQL_NUM})))
+                       AS sig
+            FROM sh, pm
+            WHERE doc_id % pm.panel_mod = 0
+        ), pairs AS (
+            SELECT len(list_intersect(a.shingles, b.shingles)) AS inter,
+                   len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))
+                       AS uni,
+                   CAST(list_sum(list_transform(
+                       range(1, {MH_EVAL_HASHES + 1}),
+                       i -> CASE WHEN a.sig[i] = b.sig[i]
+                                 THEN 1 ELSE 0 END)) AS BIGINT) AS matches
+            FROM panel a JOIN panel b ON a.doc_id < b.doc_id
+        ), errs AS (
+            SELECT CAST(abs(matches * uni - {MH_EVAL_HASHES} * inter)
+                        * 1000000 // ({MH_EVAL_HASHES} * uni) AS BIGINT)
+                       AS err_ppm
+            FROM pairs
+        )
+        SELECT CAST(err_ppm // 50000 AS BIGINT) AS err_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM errs
+        GROUP BY 1
+        ORDER BY err_bucket
+    """.format(corpus_shingles=SQL_CORPUS_SHINGLES),
+    description="MinHash estimator-quality audit: on a bounded "
+    f"~{MH_EVAL_PANEL}-doc panel of the perturbed corpus, every "
+    "pair's exact 3-gram Jaccard is compared against the "
+    f"{MH_EVAL_HASHES}-hash PORTABLE minhash estimate (per-seed "
+    "md5-derived hash family, recomputable in any engine — unlike "
+    "the production xxhash64 family, which is why the production "
+    "LSH oracle uses exact Jaccard instead), and the absolute-error "
+    "distribution lands in 5-percentage-point buckets — the "
+    "calibration measurement that justifies a signature width "
+    "BEFORE a 100 TB dedup run bets recall on it (expected error "
+    "~1/sqrt(k)). Errors are exact integer ppm (|matches*union - "
+    "k*inter| scaled and floor-divided) so the histogram is "
+    "bit-portable; the panel keeps the pair set fixed-size at any "
+    "corpus scale.",
+)
+def dedup_minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import normalize_text, shingles_from_tokens, tokens
+    from ..operators.parallelism import widen
+    from .llm_dedup import perturbed_corpus
+
+    # shingling is per-row CPU on a 1-2 split parquet scan — widen AND
+    # checkpoint so the projection cannot collapse back below the
+    # exchange (plain projections push through a round-robin
+    # repartition; measured 31s serialized on 2 tasks at sf0.1, ~2s
+    # on 32 after the barrier)
+    corpus = widen(perturbed_corpus(spark, sf_dir), "doc_id").localCheckpoint(
+        eager=False
+    )
+    # no emptiness filter: shingles_from_tokens emits >= 1 (possibly
+    # truncated) shingle for every document by contract
+    sh = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            shingles_from_tokens(tokens(normalize_text(F.col("text"))), 3)
+        ).alias("shingles"),
+    )
+    pm = sh.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / F.lit(float(MH_EVAL_PANEL))).cast(
+                "bigint"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("panel_mod")
+    )
+    mh_num = lambda k, s: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(k.cast("string"), F.lit(":"), s)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(MH_EVAL_HASHES - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col("shingles"), lambda s: mh_num(k, s))
+        ),
+    )
+    panel = (
+        sh.crossJoin(F.broadcast(pm))
+        .filter(F.col("doc_id") % F.col("panel_mod") == 0)
+        .select("doc_id", "shingles", sig.alias("sig"))
+        # materialization barrier: without it CollapseProject inlines
+        # the 32-hash signature expression into BOTH sides of the pair
+    # join and recomputes it PER PAIR (measured 123s at sf0.1 — the
+        # per-element lambda re-evaluation trap, SCALE.md "Planner-
+        # level traps"); checkpointed, signatures compute once per doc
+        .localCheckpoint(eager=False)
+    )
+    a = panel.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("ha"),
+        F.col("sig").alias("sa"),
+    )
+    b = panel.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("hb"),
+        F.col("sig").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    uni = F.size("ha") + F.size("hb") - inter
+    matches = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        inter.alias("inter"), uni.alias("uni"), matches.alias("matches")
+    )
+    err_ppm = F.expr(
+        f"abs(matches * uni - {MH_EVAL_HASHES} * inter) * 1000000"
+        f" div ({MH_EVAL_HASHES} * uni)"
+    )
+    return (
+        pairs.select(err_ppm.cast("bigint").alias("_e"))
+        .select(F.expr("_e div 50000").cast("bigint").alias("err_bucket"))
+        .groupBy("err_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("err_bucket")
     )

@@ -334,3 +334,97 @@ def format_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+CSV_DIALECT_KEY_CAP = 3000
+CSV_NULL_MARK = "NULLX"
+
+
+@query(
+    "format_csv_dialect_battery",
+    oracle=f"""
+        WITH src AS (
+            SELECT o_orderkey AS id, o_orderstatus AS status,
+                   CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM orders WHERE o_orderkey < {CSV_DIALECT_KEY_CAP}
+        ), built AS (
+            SELECT id, cents,
+                   CASE WHEN status = 'F' THEN NULL
+                        ELSE 'a,"' || status || '"' || chr(10) || 'z|x'
+                   END AS s
+            FROM src
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(COUNT(*) - COUNT(s) AS BIGINT) AS n_nulls,
+               CAST(COALESCE(SUM(length(s)), 0) AS BIGINT) AS sum_str_len,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_strs
+        FROM built
+    """,
+    description="CSV dialect battery — the reference IS a CSV "
+    "ingester (glue_job_script.py:39-42), so the parser's hostile "
+    "corners are [REF]-fidelity surface: fields containing the "
+    "DELIMITER, embedded RFC-4180 doubled quotes, embedded NEWLINES "
+    "(multiLine mode), and unquoted null sentinels, under a "
+    "non-default '|' separator. Rows serialize to dialect CSV with "
+    "manual RFC quoting (quote-wrap + quote-doubling), round-trip "
+    "through a text sink and spark.read.csv(sep/quote/escape/"
+    "multiLine/nullValue), and the aggregate over the PARSED result "
+    "must hash-match the oracle computed directly from the source "
+    "table — any mis-split row, lost quote, or un-collapsed escape "
+    "shifts the counts/lengths. Scale note: multiLine=true makes "
+    "each file a single parse unit (no intra-file split points with "
+    "embedded newlines) — file-count, not byte-split, is the "
+    "parallelism knob on such data, which is why the writer keeps "
+    "many small-bounded files.",
+)
+def format_csv_dialect_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < CSV_DIALECT_KEY_CAP
+    )
+    hostile = F.concat(
+        F.lit('a,"'), F.col("o_orderstatus"), F.lit('"'),
+        F.expr("chr(10)"), F.lit("z|x"),
+    )
+    built = orders.select(
+        F.col("o_orderkey").alias("id"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(None).cast("string"))
+        .otherwise(hostile)
+        .alias("s"),
+    )
+    quoted = F.concat(
+        F.lit('"'), F.regexp_replace("s", '"', '""'), F.lit('"')
+    )
+    lines = built.select(
+        F.concat(
+            F.col("id").cast("string"),
+            F.lit("|"),
+            F.coalesce(quoted, F.lit(CSV_NULL_MARK)),
+            F.lit("|"),
+            F.col("cents").cast("string"),
+        ).alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="csv_dialect_")
+    lines.write.mode("overwrite").text(base)
+    parsed = (
+        spark.read.schema("id long, s string, cents long")
+        .option("sep", "|")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("nullValue", CSV_NULL_MARK)
+        .csv(base)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        (F.count(F.lit(1)) - F.count("s")).cast("bigint").alias("n_nulls"),
+        F.coalesce(F.sum(F.length("s")), F.lit(0))
+        .cast("bigint")
+        .alias("sum_str_len"),
+        F.countDistinct("s").cast("bigint").alias("n_distinct_strs"),
+    )

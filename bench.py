@@ -136,6 +136,9 @@ HEADLINE = [
     "pipeline_bpe_tokenize_apply",
     "events_watermark_lateness_profile",
     "streaming_token_bucket_quota",
+    # round 5 additions: wave 45
+    "format_csv_dialect_battery",
+    "dedup_minhash_estimator_error",
 ]
 
 
