@@ -157,6 +157,7 @@ _VERIFICATION_PRIORITY = [
     "streaming_token_bucket_quota",
     "format_csv_dialect_battery",
     "dedup_minhash_estimator_error",
+    "lakehouse_time_travel_merge",
 ]
 
 

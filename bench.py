@@ -139,6 +139,7 @@ HEADLINE = [
     # round 5 additions: wave 45
     "format_csv_dialect_battery",
     "dedup_minhash_estimator_error",
+    "lakehouse_time_travel_merge",
 ]
 
 
