@@ -38,6 +38,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_DIR = "_dl_log"
 
@@ -124,7 +125,9 @@ def read_table(
     files = _read_manifest(path, v)["files"]
     if not files:
         raise ValueError(f"version {v} has no files")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
 
 
 def merge_upsert(
@@ -144,3 +147,49 @@ def merge_upsert(
     merged = kept.unionByName(updates)
     new_files = _write_data_files(merged, path)
     return _commit(path, new_files, "merge")
+
+
+def vacuum(path: str) -> list[str]:
+    """Delete data files referenced by NO manifest (crash leftovers
+    from writers that died before commit). Files referenced by ANY
+    version are kept — time travel stays intact; dropping history
+    would be a separate ``expire_versions`` policy decision.
+    Returns the deleted file names."""
+    referenced: set[str] = set()
+    for v in table_versions(path):
+        referenced.update(_read_manifest(path, v)["files"])
+    deleted = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and f not in referenced:
+            os.remove(os.path.join(path, f))
+            deleted.append(f)
+    return sorted(deleted)
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE: rewrite the CURRENT snapshot into ``target_files``
+    right-sized files and commit it as a new version (old versions
+    keep their small files until expired). The small-files problem is
+    the lakehouse tax of frequent small appends; compaction pays it
+    back without changing query results."""
+    current = read_table(spark, path).coalesce(target_files)
+    return _commit(path, _write_data_files(current, path), "compact")
+
+
+def append_evolved(spark: SparkSession, path: str, df: DataFrame) -> int:
+    """Schema-evolving append: new columns in ``df`` are added to the
+    table (existing rows read them as NULL via parquet schema merge);
+    columns missing from ``df`` are filled with NULL. Readers must
+    merge schemas across files, which ``read_table`` relies on
+    parquet's mergeSchema for when manifests span file schemas."""
+    current = read_table(spark, path)
+    aligned = df
+    for c in current.columns:
+        if c not in df.columns:
+            aligned = aligned.withColumn(
+                c, F.lit(None).cast(current.schema[c].dataType)
+            )
+    new_files = _write_data_files(aligned, path)
+    versions = table_versions(path)
+    files = _read_manifest(path, versions[-1])["files"] + new_files
+    return _commit(path, files, "append_evolved")
