@@ -158,6 +158,8 @@ _VERIFICATION_PRIORITY = [
     "format_csv_dialect_battery",
     "dedup_minhash_estimator_error",
     "lakehouse_time_travel_merge",
+    "lakehouse_cdc_changefeed",
+    "dedup_threshold_yield_curve",
 ]
 
 

@@ -317,7 +317,22 @@ def minhash_near_duplicates(
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"),
+        )
+        .withColumn(
+            "n_union",
+            (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            *(["n_inter", "n_union"] if with_counts else []),
+        )
     )
     return verified
 
@@ -463,6 +478,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     shingle_size: int = 3,
     threshold: float = 0.5,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold via prefix filtering
     (the PPJoin candidate-generation principle).
@@ -660,5 +676,20 @@ def ngram_jaccard_pairs(
         )
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"),
+        )
+        .withColumn(
+            "n_union",
+            (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            *(["n_inter", "n_union"] if with_counts else []),
+        )
     )

@@ -356,3 +356,81 @@ def dedup_minhash_estimator_error(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("err_bucket")
     )
+
+
+def _corpus5_sql() -> str:
+    from .llm_dedup import _sql_corpus_shingles
+
+    return _sql_corpus_shingles(5)
+
+
+# ---------------------------------- dedup threshold yield curve
+
+
+@query(
+    "dedup_threshold_yield_curve",
+    oracle=f"""
+        WITH {{corpus5}},
+        pairs AS (
+            SELECT inter, la + lb - inter AS uni
+            FROM (
+                SELECT len(list_intersect(a.shingles, b.shingles)) AS inter,
+                       len(a.shingles) AS la, len(b.shingles) AS lb
+                FROM sh a JOIN sh b
+                  ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            WHERE inter * 2 >= la + lb - inter
+        ), banded AS (
+            SELECT CAST((10 * inter) // uni AS BIGINT) AS band
+            FROM pairs
+        ), counts AS (
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM banded GROUP BY band
+        )
+        SELECT band, n_pairs,
+               CAST(SUM(n_pairs) OVER (
+                   ORDER BY band DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_pairs_at_or_above
+        FROM counts
+        ORDER BY band
+    """.format(
+        corpus5=_corpus5_sql()
+    ),
+    description="Dedup-threshold yield curve: one exact 5-gram PPJoin "
+    "run at the loosest operating threshold (J >= 0.5) banded by "
+    "EXACT integer deciles ((10*inter) div union — no double "
+    "boundary ambiguity) with the reverse-cumulative pair count per "
+    "band — the knob-setting measurement a dedup owner reads to pick "
+    "a threshold (how many pairs does tightening 0.5 -> 0.7 give "
+    "up?) from ONE run instead of re-running the join per candidate "
+    "threshold. Candidate generation is the same provably-complete "
+    "prefix-filtered join as dedup_ngram_jaccard_pairs; the "
+    "cumulative runs on a <= 6-row band spine. The all-pairs SQL "
+    "lives only in the oracle.",
+)
+def dedup_threshold_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    from .llm_dedup import perturbed_corpus
+
+    corpus = perturbed_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", block_cols=["lang"], shingle_size=5,
+        threshold=0.5, with_counts=True,
+    )
+    counts = (
+        pairs.select(
+            F.expr("(10 * n_inter) div n_union").cast("bigint").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return counts.select(
+        "band",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    ).orderBy("band")
+

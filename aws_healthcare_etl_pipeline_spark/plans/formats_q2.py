@@ -519,3 +519,107 @@ def lakehouse_time_travel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "n_rows", "sum_cents", "n_statuses")
         .orderBy("version")
     )
+
+
+@query(
+    "lakehouse_cdc_changefeed",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey AS id, o_orderstatus AS status,
+                   CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM orders
+        ), v0 AS (
+            SELECT * FROM base WHERE id < {DL_KEY_CAP}
+        ), v1 AS (
+            SELECT id, status,
+                   CASE WHEN id % {DL_UPD_MOD} = 0
+                        THEN cents + 100 ELSE cents END AS cents
+            FROM v0
+            UNION ALL
+            SELECT id, status, cents FROM base
+            WHERE id >= {DL_INS_LO} AND id < {DL_INS_HI}
+        ), feed AS (
+            SELECT COALESCE(a.id, b.id) AS id,
+                   CASE WHEN a.id IS NULL THEN 'insert'
+                        WHEN b.id IS NULL THEN 'delete'
+                        WHEN a.cents <> b.cents OR a.status <> b.status
+                        THEN 'update_postimage'
+                        ELSE NULL END AS change_type,
+                   COALESCE(b.cents, 0) - COALESCE(a.cents, 0)
+                       AS cents_delta
+            FROM v0 a FULL JOIN v1 b ON a.id = b.id
+        )
+        SELECT change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents_delta) AS BIGINT) AS cents_delta
+        FROM feed WHERE change_type IS NOT NULL
+        GROUP BY change_type
+        ORDER BY change_type
+    """,
+    description="Change-data-feed between two deltalite snapshots "
+    "(the Delta CDF / Iceberg changelog feature, computed rather than "
+    "stored): time-travel read version 0 and version 1 of the same "
+    "MERGE history as lakehouse_time_travel_merge, full-outer join on "
+    "the key, and classify every row as insert / delete / "
+    "update_postimage with the exact cents delta — the feed a "
+    "downstream incremental consumer replays instead of re-reading "
+    "the table. Scale shape: one key-partitioned full-outer join "
+    "between two snapshots (at 100 TB, restricted to the files the "
+    "manifests mark changed); all deltas exact int64. The oracle "
+    "recomputes both versions directly from the source table, so the "
+    "hash also re-proves the format's snapshot isolation end-to-end.",
+)
+def lakehouse_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalite import merge_upsert, read_table, write_table
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="deltalite_cdc_")
+    v0 = base.filter(F.col("id") < DL_KEY_CAP)
+    write_table(v0, path, mode="overwrite")
+    updates = (
+        v0.filter(F.col("id") % DL_UPD_MOD == 0)
+        .withColumn("cents", F.col("cents") + 100)
+        .unionByName(
+            base.filter(
+                (F.col("id") >= DL_INS_LO) & (F.col("id") < DL_INS_HI)
+            )
+        )
+    )
+    merge_upsert(spark, path, updates, "id")
+    a = read_table(spark, path, version=0).select(
+        F.col("id").alias("a_id"),
+        F.col("status").alias("a_status"),
+        F.col("cents").alias("a_cents"),
+    )
+    b = read_table(spark, path, version=1).select(
+        F.col("id").alias("b_id"),
+        F.col("status").alias("b_status"),
+        F.col("cents").alias("b_cents"),
+    )
+    feed = a.join(b, F.col("a_id") == F.col("b_id"), "full").select(
+        F.when(F.col("a_id").isNull(), "insert")
+        .when(F.col("b_id").isNull(), "delete")
+        .when(
+            (F.col("a_cents") != F.col("b_cents"))
+            | (F.col("a_status") != F.col("b_status")),
+            "update_postimage",
+        )
+        .alias("change_type"),
+        (
+            F.coalesce("b_cents", F.lit(0)) - F.coalesce("a_cents", F.lit(0))
+        ).alias("cents_delta"),
+    )
+    return (
+        feed.filter(F.col("change_type").isNotNull())
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents_delta").cast("bigint").alias("cents_delta"),
+        )
+        .orderBy("change_type")
+    )

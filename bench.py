@@ -140,6 +140,8 @@ HEADLINE = [
     "format_csv_dialect_battery",
     "dedup_minhash_estimator_error",
     "lakehouse_time_travel_merge",
+    "lakehouse_cdc_changefeed",
+    "dedup_threshold_yield_curve",
 ]
 
 
