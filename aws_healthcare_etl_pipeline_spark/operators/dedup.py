@@ -317,22 +317,7 @@ def minhash_near_duplicates(
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
-        .withColumn(
-            "n_inter",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"),
-        )
-        .withColumn(
-            "n_union",
-            (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast(
-                "bigint"
-            ),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            *(["n_inter", "n_union"] if with_counts else []),
-        )
+        .select("id_a", "id_b", "jaccard")
     )
     return verified
 
