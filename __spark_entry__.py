@@ -160,6 +160,9 @@ _VERIFICATION_PRIORITY = [
     "lakehouse_time_travel_merge",
     "lakehouse_cdc_changefeed",
     "dedup_threshold_yield_curve",
+    "sql_nulls_ordering_battery",
+    "agg_mode_deterministic",
+    "format_csv_malformed_modes",
 ]
 
 

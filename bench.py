@@ -142,6 +142,10 @@ HEADLINE = [
     "lakehouse_time_travel_merge",
     "lakehouse_cdc_changefeed",
     "dedup_threshold_yield_curve",
+    # round 5 additions: wave 48
+    "sql_nulls_ordering_battery",
+    "agg_mode_deterministic",
+    "format_csv_malformed_modes",
 ]
 
 
