@@ -163,6 +163,9 @@ _VERIFICATION_PRIORITY = [
     "sql_nulls_ordering_battery",
     "agg_mode_deterministic",
     "format_csv_malformed_modes",
+    "scd2_point_in_time_join",
+    "emb_mips_vs_cosine_divergence",
+    "text_stopword_discovery",
 ]
 
 

@@ -251,3 +251,307 @@ def format_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "failfast_raised",
         )
     )
+
+
+# -------------------------------------- SCD2 point-in-time join
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+        WITH changed AS (
+            SELECT DISTINCT c_custkey FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ), matched AS (
+            SELECT c.c_mktsegment AS seg,
+                   CASE WHEN c.c_custkey IN (SELECT c_custkey FROM changed)
+                             AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+                        THEN 2 ELSE 1 END AS version_no,
+                   CASE WHEN c.c_custkey IN (SELECT c_custkey FROM changed)
+                             AND o.o_orderdate >= TIMESTAMP '1997-07-01'
+                        THEN round(c.c_acctbal + 100.0, 2)
+                        ELSE c.c_acctbal END AS bal
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        SELECT seg, CAST(version_no AS BIGINT) AS version_no,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(bal AS DECIMAL(15,2))) AS DOUBLE)
+                   AS balance_weighted_sum
+        FROM matched
+        GROUP BY seg, version_no
+        ORDER BY seg, version_no
+    """,
+    description="Point-in-time (temporal) join against the SCD2 "
+    "customer history: every order joins the dimension VERSION that "
+    "was valid at its order date (valid_from <= t < valid_to) — the "
+    "as-was reporting semantics that separates a type-2 warehouse "
+    "from a lossy type-1 overwrite, and the reason the history "
+    "exists at all. The history is built by the same operators/"
+    "scd.py application as scd2_customer_balance_history (+$100 "
+    "effective 1997-07-01 for 1997 purchasers); the join is equi on "
+    "the business key with the validity range as a residual filter — "
+    "one key-partitioned shuffle, version count per key is tiny (2) "
+    "so the range residual is cheap at any scale. The oracle "
+    "recomputes each order's valid version directly; exact decimal "
+    "balance sums.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed_keys = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    changes = cust.join(changed_keys, "c_custkey", "left_semi").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("1997-07-01").cast("timestamp").alias("eff"),
+    )
+    hist = scd2_apply(dim, changes, key="c_custkey", effective_col="eff")
+    fact = orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate"
+    )
+    pit = fact.join(hist, "c_custkey").filter(
+        (F.col("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        )
+    )
+    version_no = F.when(
+        F.col("valid_from") == F.lit("1995-01-01").cast("timestamp"), 1
+    ).otherwise(2)
+    return (
+        pit.select(
+            F.col("c_mktsegment").alias("seg"),
+            version_no.cast("bigint").alias("version_no"),
+            F.col("c_acctbal").cast("decimal(15,2)").alias("bal"),
+        )
+        .groupBy("seg", "version_no")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("bal").cast("double").alias("balance_weighted_sum"),
+        )
+        .orderBy("seg", "version_no")
+    )
+
+
+# ------------------------------------- MIPS vs cosine divergence
+
+MIPS_QUERIES = 20
+MIPS_TOPK = 5
+MIPS_SCALE = 1_048_576
+_MIPS_DIM = 64
+
+
+@query(
+    "emb_mips_vs_cosine_divergence",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  e -> CAST(FLOOR(CAST(e AS DOUBLE)
+                                                  * {MIPS_SCALE}.0)
+                                            AS BIGINT)) AS v
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, v,
+                   sqrt(CAST(CAST(list_sum(list_transform(
+                       range(1, {_MIPS_DIM + 1}), i -> v[i] * v[i]))
+                       AS BIGINT) AS DOUBLE)) AS norm
+            FROM q
+        ), queries AS (
+            SELECT vec_id AS q_id, v AS qv
+            FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {MIPS_QUERIES}
+        ), scored AS (
+            SELECT qs.q_id, c.vec_id AS c_id,
+                   CAST(list_sum(list_transform(range(1, {_MIPS_DIM + 1}),
+                        i -> qs.qv[i] * c.v[i])) AS BIGINT) AS dot,
+                   CAST(CAST(list_sum(list_transform(
+                        range(1, {_MIPS_DIM + 1}),
+                        i -> qs.qv[i] * c.v[i])) AS BIGINT) AS DOUBLE)
+                       / c.norm AS scaled
+            FROM queries qs JOIN norms c ON c.vec_id <> qs.q_id
+        ), ranked AS (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY dot DESC, c_id) AS r_dot,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY scaled DESC, c_id) AS r_cos
+            FROM scored
+        ), ovl AS (
+            SELECT a.q_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM ranked a JOIN ranked b
+              ON a.q_id = b.q_id AND a.c_id = b.c_id
+            WHERE a.r_dot <= {MIPS_TOPK} AND b.r_cos <= {MIPS_TOPK}
+            GROUP BY a.q_id
+        )
+        SELECT n_overlap,
+               CAST(COUNT(*) AS BIGINT) AS n_queries
+        FROM ovl
+        GROUP BY n_overlap
+        ORDER BY n_overlap
+    """,
+    description="MIPS-vs-cosine retrieval divergence: for a "
+    f"deterministic {MIPS_QUERIES}-query panel, the top-{MIPS_TOPK} "
+    "by raw inner product is compared with the top-k by "
+    "corpus-norm-scaled score (equivalent cosine ordering for a "
+    "fixed query), and the overlap histogram quantifies how much "
+    "candidate NORM VARIANCE distorts retrieval — the audit that "
+    "decides whether embeddings must be L2-normalized before an "
+    "ANN index is built (dot-product indexes over unnormalized "
+    "vectors silently favor long vectors). Dot products are exact "
+    "int64 on the 2^20 lattice; the cosine ordering divides by one "
+    "corpus-side sqrt (query norm is constant per partition, "
+    "dropped); per-query rank windows are query-partitioned with "
+    "deterministic (score, id) tie-breaks.",
+)
+def emb_mips_vs_cosine_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda e: F.floor(
+                e.cast("double") * F.lit(float(MIPS_SCALE))
+            ).cast("bigint"),
+        ).alias("v"),
+    )
+    sq = F.aggregate(
+        F.transform("v", lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    norms = q.select(
+        "vec_id", "v", F.sqrt(sq.cast("double")).alias("norm")
+    ).localCheckpoint(eager=False)
+    queries = (
+        q.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(MIPS_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(norms, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            dot.alias("dot"),
+            (dot.cast("double") / F.col("norm")).alias("scaled"),
+        )
+    )
+    w_dot = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "c_id")
+    w_cos = Window.partitionBy("q_id").orderBy(
+        F.col("scaled").desc(), "c_id"
+    )
+    ranked = scored.select(
+        "q_id",
+        "c_id",
+        F.row_number().over(w_dot).alias("r_dot"),
+        F.row_number().over(w_cos).alias("r_cos"),
+    )
+    overlaps = (
+        ranked.filter(
+            (F.col("r_dot") <= MIPS_TOPK) & (F.col("r_cos") <= MIPS_TOPK)
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        overlaps.groupBy("n_overlap")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+        .orderBy("n_overlap")
+    )
+
+
+# ------------------------------------------ stopword discovery
+
+STOPWORD_TOP = 10
+
+
+@query(
+    "text_stopword_discovery",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_distinct(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS toks
+            FROM documents
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs
+        ), df AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs_containing
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+            GROUP BY tok
+        )
+        SELECT tok, n_docs_containing,
+               CAST(n_docs_containing * 1000000
+                    // (SELECT n_docs FROM n) AS BIGINT) AS df_ppm
+        FROM df
+        ORDER BY n_docs_containing DESC, tok
+        LIMIT {STOPWORD_TOP}
+    """,
+    description="Statistical stopword discovery: document frequency "
+    "of every distinct token (presence, not count), ranked — the "
+    "data-driven way to build the stopword list that RAKE-style "
+    "phrase segmentation and index pruning consume, instead of "
+    "importing a language-specific list that may not match the "
+    "corpus (here it rediscovers the fixture's function words from "
+    "statistics alone). One explode + one token-grain shuffle over "
+    "the Heaps-bounded vocabulary; df fraction reported as exact "
+    "integer ppm; top-10 via TakeOrdered with lexicographic "
+    "tie-break.",
+)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "toks"
+        ),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    df = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_containing"))
+    )
+    return (
+        df.crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            "n_docs_containing",
+            F.expr("n_docs_containing * 1000000 div n_docs")
+            .cast("bigint")
+            .alias("df_ppm"),
+        )
+        .orderBy(F.col("n_docs_containing").desc(), "tok")
+        .limit(STOPWORD_TOP)
+    )

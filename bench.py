@@ -146,6 +146,10 @@ HEADLINE = [
     "sql_nulls_ordering_battery",
     "agg_mode_deterministic",
     "format_csv_malformed_modes",
+    # round 5 additions: wave 49
+    "scd2_point_in_time_join",
+    "emb_mips_vs_cosine_divergence",
+    "text_stopword_discovery",
 ]
 
 
