@@ -166,6 +166,8 @@ _VERIFICATION_PRIORITY = [
     "scd2_point_in_time_join",
     "emb_mips_vs_cosine_divergence",
     "text_stopword_discovery",
+    "graph_clustering_coefficient",
+    "multimodal_frame_dedup",
 ]
 
 

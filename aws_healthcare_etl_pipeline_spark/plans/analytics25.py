@@ -555,3 +555,222 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs_containing").desc(), "tok")
         .limit(STOPWORD_TOP)
     )
+
+
+# --------------------------------- local clustering coefficient
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+        WITH co AS (
+            SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                   greatest(a.l_suppkey, b.l_suppkey) AS v
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                  WHERE l_partkey < 400) a
+            JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                  WHERE l_partkey < 400) b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        ), tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM co e1
+            JOIN co e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN co e3 ON e3.u = e1.v AND e3.v = e2.v
+        ), tri_per_node AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+            FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY node
+        ), deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (
+                SELECT u AS node FROM co UNION ALL SELECT v FROM co
+            ) GROUP BY node
+        ), cc AS (
+            SELECT d.node, d.deg,
+                   COALESCE(t.n_tri, 0) AS n_tri,
+                   CAST(COALESCE(t.n_tri, 0) * 2000000
+                        // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+            FROM deg d LEFT JOIN tri_per_node t USING (node)
+            WHERE d.deg >= 2
+        )
+        SELECT s.s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(cc.n_tri) AS BIGINT) AS total_triangle_slots,
+               CAST(SUM(cc.cc_ppm) // COUNT(*) AS BIGINT) AS avg_cc_ppm,
+               CAST(MAX(cc.cc_ppm) AS BIGINT) AS max_cc_ppm
+        FROM cc JOIN supplier s ON cc.node = s.s_suppkey
+        GROUP BY s.s_nationkey
+        ORDER BY s.s_nationkey
+    """,
+    description="Local clustering coefficient on the co-supply graph, "
+    "rolled up per supplier nation: per node, cc = 2*triangles / "
+    "(deg*(deg-1)) quantified as exact integer ppm (floor), so the "
+    "per-nation average is an order-insensitive integer sum-then-"
+    "divide — the community-density diagnostic (are my neighbors "
+    "connected to each other?) behind ego-network features and "
+    "link-prediction baselines. Triangles are enumerated with the "
+    "SAME degree-oriented closure as graph_triangle_count (wedge "
+    "fan-out bounded O(sqrt m) per node), each triangle exploded to "
+    "its 3 members for the per-node counts; degrees reduce from the "
+    "deduped edge list. The textbook canonical-edge enumeration "
+    "lives only in the oracle.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 400)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        co.select(F.col("u").alias("node"))
+        .unionAll(co.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    u_first = F.col("du") <= F.col("dv")
+    oriented = (
+        co.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+        )
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_ord = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e2.src") == F.col("e1.src")) & wedge_ord)
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.array(
+                F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst")
+            ).alias("members")
+        )
+    )
+    tri_per_node = (
+        tri.select(F.explode("members").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    cc = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.expr(
+                "CAST(coalesce(n_tri, 0) * 2000000"
+                " div (deg * (deg - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"), "s_nationkey"
+    )
+    return (
+        cc.join(sup, "node")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("n_tri").cast("bigint").alias("total_triangle_slots"),
+            F.expr("CAST(sum(cc_ppm) div count(1) AS BIGINT)").alias(
+                "avg_cc_ppm"
+            ),
+            F.max("cc_ppm").cast("bigint").alias("max_cc_ppm"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# ------------------------------------------- frame-level dedup
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle="""
+        WITH frames AS (
+            SELECT d.doc_id, f.fi,
+                   md5(CAST(f.fi AS VARCHAR) || ':' || md5(d.text))
+                       AS frame_checksum
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 4, 8, 12]) AS fi) f
+        ), per_idx AS (
+            SELECT fi, frame_checksum, CAST(COUNT(*) AS BIGINT) AS n
+            FROM frames GROUP BY fi, frame_checksum
+        )
+        SELECT CAST(fi AS BIGINT) AS frame_idx,
+               CAST(SUM(n) AS BIGINT) AS n_frames,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_frames,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_frames,
+               CAST(MAX(n) AS BIGINT) AS max_cluster
+        FROM per_idx
+        GROUP BY fi
+        ORDER BY frame_idx
+    """,
+    description="Cross-document frame-level dedup through the "
+    "sample_frames Arrow lane (every-4th-frame sampling of the "
+    "payload stream): frames sharing a checksum across documents are "
+    "duplicate visual content — the video-corpus analogue of exact "
+    "text dedup, run before any per-frame featurization because "
+    "dup frames multiply embedding cost for zero information. The "
+    "fake frame stream is md5-derived, so the oracle recomputes "
+    "every checksum as md5(idx ':' md5(text)) and the hash check "
+    "proves the distributed mapInPandas sampler bit-identical to "
+    "SQL; the dedup itself is one 16-byte-key shuffle at frame "
+    "grain. Real decoders swap into the same lane (operator "
+    "docstring).",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_binary_payload(docs, "text"), every_n=4
+    )
+    per_idx = frames.groupBy("frame_idx", "frame_checksum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        per_idx.groupBy("frame_idx")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_frames"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_frames"),
+            (F.sum("n") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_dup_frames"),
+            F.max("n").cast("bigint").alias("max_cluster"),
+        )
+        .select(
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            "n_frames",
+            "n_distinct_frames",
+            "n_dup_frames",
+            "max_cluster",
+        )
+        .orderBy("frame_idx")
+    )

@@ -150,6 +150,9 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "emb_mips_vs_cosine_divergence",
     "text_stopword_discovery",
+    # round 5 additions: wave 50
+    "graph_clustering_coefficient",
+    "multimodal_frame_dedup",
 ]
 
 
