@@ -168,6 +168,8 @@ _VERIFICATION_PRIORITY = [
     "text_stopword_discovery",
     "graph_clustering_coefficient",
     "multimodal_frame_dedup",
+    "text_ngram_novelty_rate",
+    "time_fiscal_calendar_rollup",
 ]
 
 

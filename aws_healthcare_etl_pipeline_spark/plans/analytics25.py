@@ -774,3 +774,181 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame_idx")
     )
+
+
+# ------------------------------------------- n-gram novelty rate
+
+
+@query(
+    "text_ngram_novelty_rate",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(a) - 3, 1) + 1),
+                       i -> concat_ws(' ', a[i], a[i+1], a[i+2], a[i+3]))))
+                       AS g
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+                FROM documents
+            )
+        ), firsts AS (
+            SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+            FROM grams GROUP BY g
+        ), per_doc AS (
+            SELECT gr.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN f.first_doc = gr.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM grams gr JOIN firsts f USING (g)
+            GROUP BY gr.doc_id
+        ), mm AS (
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS lo,
+                   CAST(MAX(doc_id) AS BIGINT) AS hi
+            FROM per_doc
+        )
+        SELECT CAST((10 * (doc_id - mm.lo)) // (mm.hi - mm.lo + 1)
+                    AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+               CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+               CAST(SUM(n_novel) * 1000000 // SUM(n_grams) AS BIGINT)
+                   AS novelty_ppm
+        FROM per_doc, mm
+        GROUP BY 1
+        ORDER BY band
+    """,
+    description="4-gram novelty-rate curve over ingestion order: per "
+    "document, the fraction of its distinct 4-grams never seen in any "
+    "earlier document (first-occurrence attribution via one MIN(doc_"
+    "id)-per-gram shuffle — the same one-pass reduction as the Heaps "
+    "vocab curve, NEVER a per-doc rescan), rolled into ten "
+    "ingestion-order bands. This is the repetition/memorization "
+    "measurement an LLM-data owner tracks as a corpus grows: novelty "
+    "collapsing toward zero means new data is mostly restating old "
+    "data and the marginal training value is vanishing. Band edges "
+    "come from a broadcast (min, max) pair; novelty is exact integer "
+    "ppm.",
+)
+def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    grams_expr = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))
+            ),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    grams = docs.select(
+        "doc_id", F.explode(grams_expr).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    per_doc = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    mm = per_doc.agg(
+        F.min("doc_id").cast("bigint").alias("lo"),
+        F.max("doc_id").cast("bigint").alias("hi"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr("CAST((10 * (doc_id - lo)) div (hi - lo + 1) AS BIGINT)")
+            .alias("band"),
+            "n_grams",
+            "n_novel",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST(sum(n_novel) * 1000000 div sum(n_grams) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------- fiscal calendar
+
+FISCAL_START_MONTH = 2  # fiscal year starts in February
+
+
+@query(
+    "time_fiscal_calendar_rollup",
+    oracle=f"""
+        WITH mapped AS (
+            SELECT CAST(year(o_orderdate)
+                        + CASE WHEN month(o_orderdate)
+                                    >= {FISCAL_START_MONTH}
+                               THEN 1 ELSE 0 END AS BIGINT) AS fy,
+                   CAST(1 + (month(o_orderdate) - {FISCAL_START_MONTH}
+                             + 12) % 12 // 3 AS BIGINT) AS fq,
+                   CAST(o_totalprice AS DECIMAL(15,2)) AS p
+            FROM orders
+        )
+        SELECT fy, fq,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(p) AS DOUBLE) AS revenue
+        FROM mapped
+        GROUP BY fy, fq
+        ORDER BY fy, fq
+    """,
+    description="Fiscal-calendar rollup (fiscal year beginning "
+    "February, labeled by ending year): calendar dates remap to "
+    "fiscal (year, quarter) with pure integer month arithmetic — "
+    "(month - start + 12) % 12 gives the fiscal month offset, "
+    "div 3 the quarter — the off-by-one minefield every finance "
+    "pipeline reimplements; an explicit modular formula beats "
+    "per-company CASE ladders and ports exactly across engines. "
+    "Single partial-agg shuffle at fiscal (year, quarter) grain "
+    "with exact decimal revenue.",
+)
+def time_fiscal_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.month("o_orderdate")
+    fy = (
+        F.year("o_orderdate")
+        + F.when(m >= FISCAL_START_MONTH, 1).otherwise(0)
+    ).cast("bigint")
+    fq = (
+        1
+        + F.expr(
+            f"(month(o_orderdate) - {FISCAL_START_MONTH} + 12) % 12 div 3"
+        )
+    ).cast("bigint")
+    return (
+        orders.select(
+            fy.alias("fy"),
+            fq.alias("fq"),
+            F.col("o_totalprice").cast("decimal(15,2)").alias("p"),
+        )
+        .groupBy("fy", "fq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("p").cast("double").alias("revenue"),
+        )
+        .orderBy("fy", "fq")
+    )

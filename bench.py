@@ -153,6 +153,9 @@ HEADLINE = [
     # round 5 additions: wave 50
     "graph_clustering_coefficient",
     "multimodal_frame_dedup",
+    # round 5 additions: wave 51
+    "text_ngram_novelty_rate",
+    "time_fiscal_calendar_rollup",
 ]
 
 
