@@ -833,24 +833,33 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    from ..operators.parallelism import widen
+
+    # Materialize the token array behind a barrier BEFORE building
+    # grams: element_at/sequence lambdas over the raw split()
+    # expression re-evaluate the split per element (the planner trap,
+    # SCALE.md) — measured 24s at sf0.1 for what is a 2s job. Grams
+    # come from four zipped slices of the materialized array (pure
+    # array ops, one pass), covering docs down to 1 token via the
+    # size guard (slice len < 1 -> empty, matching the oracle's
+    # greatest(len-3, 1) truncated-gram contract for short docs).
+    base = widen(docs, "doc_id").select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("a")
+    ).localCheckpoint(eager=False)
+    n = F.size("a")
+    m = F.greatest(n - 3, F.lit(1))  # number of grams (>= 1)
+    g12 = F.zip_with(
+        F.slice("a", 1, m),
+        F.slice("a", 2, m),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    g123 = F.zip_with(
+        g12, F.slice("a", 3, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
     grams_expr = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))
-            ),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
+        F.zip_with(g123, F.slice("a", 4, m), lambda x, y: F.concat_ws(" ", x, y))
     )
-    grams = docs.select(
-        "doc_id", F.explode(grams_expr).alias("g")
-    )
+    grams = base.select("doc_id", F.explode(grams_expr).alias("g"))
     firsts = grams.groupBy("g").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")
     )
