@@ -170,6 +170,8 @@ _VERIFICATION_PRIORITY = [
     "multimodal_frame_dedup",
     "text_ngram_novelty_rate",
     "time_fiscal_calendar_rollup",
+    "graph_bfs_reachability_khop",
+    "geo_grid_radius_join",
 ]
 
 
