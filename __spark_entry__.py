@@ -172,6 +172,8 @@ _VERIFICATION_PRIORITY = [
     "time_fiscal_calendar_rollup",
     "graph_bfs_reachability_khop",
     "geo_grid_radius_join",
+    "events_cusum_changepoint",
+    "time_business_day_sla",
 ]
 
 
