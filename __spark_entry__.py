@@ -174,6 +174,8 @@ _VERIFICATION_PRIORITY = [
     "geo_grid_radius_join",
     "events_cusum_changepoint",
     "time_business_day_sla",
+    "search_phrase_positions",
+    "privacy_dp_geometric_counts",
 ]
 
 
