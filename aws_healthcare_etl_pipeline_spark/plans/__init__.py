@@ -61,5 +61,6 @@ from . import analytics25  # noqa: E402,F401
 from . import analytics26  # noqa: E402,F401
 from . import analytics27  # noqa: E402,F401
 from . import analytics28  # noqa: E402,F401
+from . import analytics29  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
