@@ -63,5 +63,6 @@ from . import analytics27  # noqa: E402,F401
 from . import analytics28  # noqa: E402,F401
 from . import analytics29  # noqa: E402,F401
 from . import analytics30  # noqa: E402,F401
+from . import analytics31  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
