@@ -67,5 +67,6 @@ from . import analytics31  # noqa: E402,F401
 from . import analytics32  # noqa: E402,F401
 from . import analytics33  # noqa: E402,F401
 from . import analytics34  # noqa: E402,F401
+from . import analytics35  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
