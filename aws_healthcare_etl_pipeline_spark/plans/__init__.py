@@ -68,5 +68,6 @@ from . import analytics32  # noqa: E402,F401
 from . import analytics33  # noqa: E402,F401
 from . import analytics34  # noqa: E402,F401
 from . import analytics35  # noqa: E402,F401
+from . import analytics36  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
