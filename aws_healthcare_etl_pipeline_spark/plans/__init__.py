@@ -69,5 +69,6 @@ from . import analytics33  # noqa: E402,F401
 from . import analytics34  # noqa: E402,F401
 from . import analytics35  # noqa: E402,F401
 from . import analytics36  # noqa: E402,F401
+from . import analytics37  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
