@@ -1,0 +1,78 @@
+"""Partition-wise keyed stateful scan: the fast path for per-key
+sequential operators.
+
+``groupBy(key).applyInPandas(fn)`` launches one Arrow exchange per
+GROUP; with tens of thousands of small groups the fixed per-group cost
+(~1 ms) dominates the actual scan work by 10-100x (measured: the
+capped-balance scan spent 9.3 s on 1.5k groups at sf0.1, the interval
+DP 18 s on 15k groups). This helper keeps the same logical shape —
+hash-shuffle on the key, sequential scan within a key — but runs ONE
+``mapInPandas`` pass per PARTITION, iterating that partition's groups
+inside a single Python worker call:
+
+    repartition(key) -> sortWithinPartitions(key, *order)
+        -> mapInPandas(scan all complete groups per Arrow batch,
+                       carrying the trailing partial group to the next
+                       batch so group boundaries never split)
+
+The carry loop is required because Arrow hands the partition to Python
+in ~10k-row batches and a group may straddle a batch boundary.
+
+At 100 TB the shape is unchanged: one shuffle on the key, per-key
+sequential work (the information-theoretic minimum for order-sensitive
+recurrences), parallel across partitions; per-batch memory stays at
+Arrow batch size + one group.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def keyed_pandas_scan(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    per_group: Callable[[pd.DataFrame], pd.DataFrame],
+    out_schema: str,
+) -> DataFrame:
+    """Run ``per_group`` over each key's rows (pre-sorted by ``order``)
+    with one Python call per Arrow batch instead of one per group.
+
+    ``per_group`` must be a self-contained closure (pandas/stdlib only
+    — it ships to executors by value) receiving one key's rows in
+    ``order`` and returning its output rows.
+    """
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last = pdf[key].iloc[-1]
+            tail = pdf[key] == last
+            carry = pdf[tail]
+            done = pdf[~tail]
+            if len(done):
+                yield pd.concat(
+                    [
+                        per_group(g)
+                        for _, g in done.groupby(key, sort=False)
+                    ],
+                    ignore_index=True,
+                )
+        if carry is not None and len(carry):
+            yield per_group(carry)
+
+    return (
+        df.repartition(key)
+        .sortWithinPartitions(key, *order)
+        .mapInPandas(scan, out_schema)
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cumsum import distributed_running_total
+from ..operators.keyscan import keyed_pandas_scan
 from ..sources.tables import load_table
 from .registry import query
 
@@ -101,7 +102,7 @@ def inventory_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFr
 
     def clamp_scan(pdf: pd.DataFrame) -> pd.DataFrame:
         # self-contained closure: only pandas + locals (verify-skill NOTE)
-        pdf = pdf.sort_values("ts")
+        # rows arrive pre-sorted by ts (keyed_pandas_scan contract)
         bal, ncap, nflr = start, 0, 0
         for d in pdf["delta"].tolist():
             raw = bal + int(d)
@@ -127,11 +128,9 @@ def inventory_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFr
         "user_id long, n_events long, final_balance_cents long, "
         "n_capped long, n_floored long"
     )
-    return (
-        slim.groupBy("user_id")
-        .applyInPandas(clamp_scan, out_schema)
-        .orderBy("user_id")
-    )
+    return keyed_pandas_scan(
+        slim, "user_id", ["ts"], clamp_scan, out_schema
+    ).orderBy("user_id")
 
 
 # ------------------------------------------------ dataset shard manifest

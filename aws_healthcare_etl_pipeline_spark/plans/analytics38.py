@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.keyscan import keyed_pandas_scan
 from ..sources.tables import load_table
 from .registry import query
 
@@ -122,7 +123,7 @@ def scheduling_weighted_interval_dp(
         # self-contained closure: stdlib bisect + pandas only
         import bisect
 
-        pdf = pdf.sort_values(["e", "ok"]).reset_index(drop=True)
+        # rows arrive pre-sorted by (e, ok) (keyed_pandas_scan contract)
         ends = pdf["e"].tolist()
         starts = pdf["s"].tolist()
         vals = pdf["v"].tolist()
@@ -142,7 +143,7 @@ def scheduling_weighted_interval_dp(
         )
 
     out_schema = "ck long, n_intervals long, opt long"
-    percust = iv.groupBy("ck").applyInPandas(wis_dp, out_schema)
+    percust = keyed_pandas_scan(iv, "ck", ["e", "ok"], wis_dp, out_schema)
     return (
         percust.join(
             F.broadcast(cust), cust["c_custkey"] == percust["ck"]
