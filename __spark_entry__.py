@@ -176,6 +176,29 @@ _VERIFICATION_PRIORITY = [
     "time_business_day_sla",
     "search_phrase_positions",
     "privacy_dp_geometric_counts",
+    # --- waves 55-65 (this round's additions, never driver-checked) ---
+    "inventory_capped_running_balance",
+    "pipeline_dataset_shard_manifest",
+    "emb_mmr_diversified_topk",
+    "privacy_t_closeness_emd",
+    "view_incremental_join_maintenance",
+    "fairness_selection_rate_audit",
+    "revenue_recognition_schedule",
+    "fd_discovery_audit",
+    "layout_zonemap_skipping_audit",
+    "sim_ndcg_retrieval_eval",
+    "survival_km_hazard_table",
+    "basket_apriori_triples",
+    "inventory_fifo_lot_valuation",
+    "forecast_conformal_interval_audit",
+    "finance_price_volume_mix",
+    "slo_error_budget_burn",
+    "trend_theil_sen_slope",
+    "corpus_drift_idf_shift",
+    "scheduling_weighted_interval_dp",
+    "text_hapax_ratio_by_lang",
+    "text_encoding_byte_audit",
+    "sampling_neyman_allocation",
 ]
 
 
