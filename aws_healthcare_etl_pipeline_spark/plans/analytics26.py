@@ -147,10 +147,38 @@ def graph_bfs_reachability_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ grid-blocked radius join
 
-_GEO_W = 2048  # world is a _GEO_W x _GEO_W integer lattice
 _GEO_R = 128  # radius; cell size == radius -> 9-cell neighborhood
 _GEO_R2 = _GEO_R * _GEO_R
 _BANDS = 8  # dist2 // (R2/8) -> bands 0..8 (8 only at dist2 == R2)
+# Constant-density world: the lattice width scales with point count
+# (W ~ 16*sqrt(N), snapped to a power-of-two ladder) so points-per-cell
+# stays bounded and the radius join stays O(N), not O(N^2). A fixed
+# world under growing N is the classic spatial-join scale bug: density
+# rises linearly, TRUE qualifying pairs rise quadratically (measured:
+# sf0.1->sf1 exponent 1.93 before this ladder). The ladder is integer
+# CASE logic — portable, no log2 — and keeps W=2048 for N<=20k so
+# small-SF results are unchanged. 16-bit md5 coordinates cap the
+# ladder at W=65536 (density grows again past N~5M; extend the hex
+# draw to 6 nibbles if that regime is ever real).
+_GEO_LADDER = [
+    (20_000, 2048),
+    (80_000, 4096),
+    (320_000, 8192),
+    (1_280_000, 16384),
+    (5_120_000, 32768),
+]
+_GEO_W_MAX = 65536
+_CELL_PACK = 1 << 20  # cell-key packing; > max cells per axis at W_MAX
+
+
+def _geo_w_sql() -> str:
+    cases = " ".join(
+        f"WHEN n <= {lim} THEN {w}" for lim, w in _GEO_LADDER
+    )
+    return (
+        f"(SELECT CASE {cases} ELSE {_GEO_W_MAX} END AS w FROM "
+        f"(SELECT COUNT(*) AS n FROM customer))"
+    )
 
 
 def _geo_hex4(expr: str) -> str:
@@ -163,11 +191,11 @@ def _geo_hex4(expr: str) -> str:
 @query(
     "geo_grid_radius_join",
     oracle=f"""
-        WITH pts AS (
+        WITH wsel AS {_geo_w_sql()}, pts AS (
             SELECT c_custkey AS id,
-                   ({_geo_hex4("'x:' || CAST(c_custkey AS VARCHAR)")}) % {_GEO_W} AS x,
-                   ({_geo_hex4("'y:' || CAST(c_custkey AS VARCHAR)")}) % {_GEO_W} AS y
-            FROM customer
+                   ({_geo_hex4("'x:' || CAST(c_custkey AS VARCHAR)")}) % w.w AS x,
+                   ({_geo_hex4("'y:' || CAST(c_custkey AS VARCHAR)")}) % w.w AS y
+            FROM customer, wsel w
         ),
         pairs AS (
             SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
@@ -183,7 +211,10 @@ def _geo_hex4(expr: str) -> str:
         FROM pairs GROUP BY 1 ORDER BY band
     """,
     description="Fixed-radius spatial pair join via grid-cell blocking: "
-    "points live on a md5-derived integer lattice; cell size equals the "
+    "points live on a md5-derived integer lattice whose width scales "
+    "with point count (constant density, power-of-two CASE ladder — a "
+    "fixed world under growing N is quadratic by construction); cell "
+    "size equals the "
     "radius, so every qualifying pair is confined to a 3x3 cell "
     "neighborhood. Spark explodes 9 neighbor offsets on one side and "
     "equi-joins on a single composite cell key (shuffle-hash-friendly, "
@@ -205,17 +236,23 @@ def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = F.md5(F.concat(F.lit(prefix), F.col("c_custkey").cast("string")))
         return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
 
-    pts = cust.select(
+    cases = " ".join(
+        f"WHEN n <= {lim} THEN {w}" for lim, w in _GEO_LADDER
+    )
+    wsel = cust.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(f"CASE {cases} ELSE {_GEO_W_MAX} END").alias("w")
+    )
+    pts = cust.crossJoin(F.broadcast(wsel)).select(
         F.col("c_custkey").alias("id"),
-        (hex4("x:") % _GEO_W).alias("x"),
-        (hex4("y:") % _GEO_W).alias("y"),
+        (hex4("x:") % F.col("w")).alias("x"),
+        (hex4("y:") % F.col("w")).alias("y"),
     )
     cell = lambda c: F.expr(f"{c} div {_GEO_R}")  # noqa: E731
     right = pts.select(
         F.col("id").alias("rid"),
         F.col("x").alias("rx"),
         F.col("y").alias("ry"),
-        (cell("x") * 64 + cell("y")).alias("rcell"),
+        (cell("x") * _CELL_PACK + cell("y")).alias("rcell"),
     )
     offsets = F.array(*[F.lit(d) for d in range(-1, 2)])
     left = (
@@ -225,7 +262,10 @@ def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("lid"),
             F.col("x").alias("lx"),
             F.col("y").alias("ly"),
-            ((cell("x") + F.col("dx")) * 64 + (cell("y") + F.col("dy"))).alias("lcell"),
+            (
+                (cell("x") + F.col("dx")) * _CELL_PACK
+                + (cell("y") + F.col("dy"))
+            ).alias("lcell"),
         )
     )
     dist2 = (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx")) + (
