@@ -72,5 +72,6 @@ from . import analytics36  # noqa: E402,F401
 from . import analytics37  # noqa: E402,F401
 from . import analytics38  # noqa: E402,F401
 from . import analytics39  # noqa: E402,F401
+from . import analytics40  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
