@@ -75,5 +75,6 @@ from . import analytics39  # noqa: E402,F401
 from . import analytics40  # noqa: E402,F401
 from . import analytics41  # noqa: E402,F401
 from . import analytics42  # noqa: E402,F401
+from . import analytics43  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
