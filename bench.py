@@ -184,6 +184,16 @@ HEADLINE = [
     "text_hapax_ratio_by_lang",
     "text_encoding_byte_audit",
     "sampling_neyman_allocation",
+    "graph_katz_centrality_integer",
+    "multimodal_audio_zero_crossings",
+    "timeseries_haar_wavelet_energy",
+    "selection_greedy_max_coverage",
+    "stats_simpsons_paradox_scan",
+    "stats_exact_raw_moments",
+    "audit_merkle_month_digests",
+    "isotonic_regression_exact",
+    "layout_prefix_compression_audit",
+    "cache_lru_hit_rate",
 ]
 
 
