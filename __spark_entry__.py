@@ -209,6 +209,14 @@ _VERIFICATION_PRIORITY = [
     "isotonic_regression_exact",
     "layout_prefix_compression_audit",
     "cache_lru_hit_rate",
+    "quality_expectation_suite",
+    "cdc_log_compaction",
+    "attribution_shapley_exact",
+    "events_weekday_hour_heatmap",
+    "approx_f2_moment_sketch",
+    "audit_join_fanout_estimates",
+    "serving_hierarchical_range_sums",
+    "orders_priority_mix_shift",
 ]
 
 
