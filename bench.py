@@ -202,6 +202,13 @@ HEADLINE = [
     "audit_join_fanout_estimates",
     "serving_hierarchical_range_sums",
     "orders_priority_mix_shift",
+    "graph_mst_boruvka",
+    "dist_consistent_hash_rebalance",
+    "dist_rendezvous_hash_rebalance",
+    "stat_kruskal_wallis_ranksums",
+    "market_concentration_cr4",
+    "timeseries_sax_motifs",
+    "search_postings_gap_stats",
 ]
 
 
