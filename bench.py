@@ -209,6 +209,8 @@ HEADLINE = [
     "market_concentration_cr4",
     "timeseries_sax_motifs",
     "search_postings_gap_stats",
+    "pipeline_filter_attrition_funnel",
+    "events_repeat_rate_7d",
 ]
 
 
