@@ -216,6 +216,14 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = sup.groupBy(F.col("na").alias("nationkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+    if chosen is None:
+        # degenerate graph (no nation has >= 2 suppliers): empty forest
+        return counts.select(
+            "nationkey",
+            "n_nodes",
+            F.lit(0).cast("long").alias("mst_edges"),
+            F.lit(0).cast("long").alias("total_weight"),
+        ).orderBy("nationkey")
     per_nation = (
         chosen.groupBy(F.col("na").alias("nationkey"))
         .agg(
