@@ -226,6 +226,8 @@ _VERIFICATION_PRIORITY = [
     "search_postings_gap_stats",
     "pipeline_filter_attrition_funnel",
     "events_repeat_rate_7d",
+    "ml_auc_feature_screen",
+    "ml_target_encoding_loo",
 ]
 
 
