@@ -228,6 +228,8 @@ _VERIFICATION_PRIORITY = [
     "events_repeat_rate_7d",
     "ml_auc_feature_screen",
     "ml_target_encoding_loo",
+    "sim_matryoshka_prefix_recall",
+    "graph_modularity_nations",
 ]
 
 
