@@ -215,6 +215,8 @@ HEADLINE = [
     "ml_target_encoding_loo",
     "sim_matryoshka_prefix_recall",
     "graph_modularity_nations",
+    "experiment_sprt_daily_replay",
+    "ml_calibration_reliability_bins",
 ]
 
 
