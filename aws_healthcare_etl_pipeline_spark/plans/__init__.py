@@ -89,5 +89,6 @@ from . import analytics53  # noqa: E402,F401
 from . import analytics54  # noqa: E402,F401
 from . import analytics55  # noqa: E402,F401
 from . import analytics56  # noqa: E402,F401
+from . import analytics57  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -217,6 +217,8 @@ HEADLINE = [
     "graph_modularity_nations",
     "experiment_sprt_daily_replay",
     "ml_calibration_reliability_bins",
+    "ml_negative_sampling_audit",
+    "audit_price_round_number_bias",
 ]
 
 
