@@ -8,8 +8,10 @@ edge weights totally ordered by (weight, endpoints) — making the MSF
 unique even under weight ties, since both algorithms share that
 lexicographic order).
 Each round is one edge-relabel join + one per-component min (a
-lexicographic struct-min — weight first), with merges resolved by the
-repo's ``connected_components`` min-label propagation. The DuckDB
+lexicographic struct-min — weight first), with merges resolved by
+star-hooking (hook to the minimum pick-neighbor, one pointer jump) —
+partial contraction is safe by the cut property, so no inner
+connected-components loop runs per round. The DuckDB
 oracle runs KRUSKAL instead — a RECURSIVE CTE scanning edges in
 weight order and carrying the union-find as a list — so the hash
 match proves two DIFFERENT classic MST algorithms agree on every
@@ -21,11 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.clusters import connected_components
 from ..sources.tables import load_table
 from .registry import query
 
-_MST_ROUNDS = 6  # >= log2(max suppliers per nation) at any tested SF
+_MST_ROUNDS = 40  # hard cap only; the loop exits when no cross edge
+# remains. Star-hooking contracts partially, so rounds ~ 2*log2(n);
+# 40 covers nations far beyond any realistic supplier count.
 
 
 def _hex4_sql(expr: str) -> str:
@@ -108,10 +111,13 @@ def _hex4_sql(expr: str) -> str:
     "(weight, then endpoints), making the forest unique even under "
     "md5 weight ties. At 100 TB: bounded-degree edges (2 per node by "
     "construction), each round one relabel join + one struct-min "
-    "partial agg + log-round label propagation, localCheckpoint "
-    "flattening lineage — the PageRank-class iterative shape, while "
-    "Kruskal's sequential scan is exactly what cannot run "
-    "distributed.",
+    "partial agg + STAR-HOOKING merge resolution (hook to minimum "
+    "pick-neighbor, one pointer jump — partial contraction is safe "
+    "by the cut property, re-picks dedup, and the adaptive loop "
+    "exits when no cross edge remains), localCheckpoint flattening "
+    "lineage — the PageRank-class iterative shape with a CONSTANT "
+    "number of small jobs per round, while Kruskal's sequential "
+    "scan is exactly what cannot run distributed.",
 )
 def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select(
@@ -200,16 +206,49 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("ca", "cb")
         )
-        labels = connected_components(merge_pairs, "ca", "cb")
+        # Star-hooking instead of a full connected-components pass:
+        # every component hooks to its MINIMUM pick-neighbor (strictly
+        # contracting while any cross edge exists), then one pointer
+        # jump flattens depth-2 chains. Partial contraction is safe by
+        # the cut property — every per-round min outgoing edge is in
+        # the MSF no matter how merges interleave, and a re-picked
+        # edge dedups through the `chosen.distinct()` above — so the
+        # outer loop simply runs more (still O(log n)) rounds, each a
+        # constant number of small joins with NO inner convergence
+        # loop. This replaced a per-round generic CC call whose
+        # iteration checkpoints/counts dominated wall-clock at sf1.
+        both = merge_pairs.unionByName(
+            merge_pairs.select(
+                F.col("cb").alias("ca"), F.col("ca").alias("cb")
+            )
+        )
+        hook = (
+            both.groupBy(F.col("ca").alias("node"))
+            .agg(F.min("cb").alias("nbrmin"))
+            .select(
+                "node",
+                F.least(F.col("node"), F.col("nbrmin")).alias("parent"),
+            )
+        )
+        jump = hook.alias("h1").join(
+            hook.select(
+                F.col("node").alias("jnode"), F.col("parent").alias("jparent")
+            ),
+            F.col("parent") == F.col("jnode"),
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("jparent"), F.col("parent")).alias("parent"),
+        )
         comp = (
             comp.join(
-                labels.withColumnRenamed("node", "comp"),
+                jump.withColumnRenamed("node", "comp"),
                 "comp",
                 "left",
             )
             .select(
                 "node",
-                F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+                F.coalesce(F.col("parent"), F.col("comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
