@@ -234,6 +234,16 @@ _VERIFICATION_PRIORITY = [
     "ml_calibration_reliability_bins",
     "ml_negative_sampling_audit",
     "audit_price_round_number_bias",
+    "text_skipgram_pairs",
+    "anomaly_hampel_filter_daily",
+    "bandit_epsilon_greedy_replay",
+    "compression_rle_economics",
+    "geo_dbscan_grid_clusters",
+    "timeseries_rolling_correlation",
+    "alloc_maxmin_fair_share",
+    "layout_hilbert_vs_zorder_locality",
+    "regression_ransac_deterministic",
+    "layout_dictionary_encoding_economics",
 ]
 
 

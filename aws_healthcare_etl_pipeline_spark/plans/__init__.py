@@ -90,5 +90,10 @@ from . import analytics54  # noqa: E402,F401
 from . import analytics55  # noqa: E402,F401
 from . import analytics56  # noqa: E402,F401
 from . import analytics57  # noqa: E402,F401
+from . import analytics58  # noqa: E402,F401
+from . import analytics59  # noqa: E402,F401
+from . import analytics60  # noqa: E402,F401
+from . import analytics61  # noqa: E402,F401
+from . import analytics62  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
