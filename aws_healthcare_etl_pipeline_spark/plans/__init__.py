@@ -95,5 +95,7 @@ from . import analytics59  # noqa: E402,F401
 from . import analytics60  # noqa: E402,F401
 from . import analytics61  # noqa: E402,F401
 from . import analytics62  # noqa: E402,F401
+from . import analytics63  # noqa: E402,F401
+from . import analytics64  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

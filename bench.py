@@ -229,6 +229,10 @@ HEADLINE = [
     "layout_hilbert_vs_zorder_locality",
     "regression_ransac_deterministic",
     "layout_dictionary_encoding_economics",
+    "encoding_huffman_5symbol_exact",
+    "eval_topk_stability_splithalf",
+    "attribution_position_based",
+    "emb_nearest_centroid_accuracy",
 ]
 
 
