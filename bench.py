@@ -233,6 +233,10 @@ HEADLINE = [
     "eval_topk_stability_splithalf",
     "attribution_position_based",
     "emb_nearest_centroid_accuracy",
+    "alert_hysteresis_daily",
+    "ml_gain_chart_deciles",
+    "forecast_backtest_naive_vs_seasonal",
+    "stat_quantile_mapping_transfer",
 ]
 
 
