@@ -237,6 +237,10 @@ HEADLINE = [
     "ml_gain_chart_deciles",
     "forecast_backtest_naive_vs_seasonal",
     "stat_quantile_mapping_transfer",
+    "search_autocomplete_prefix_topk",
+    "privacy_l_diversity_audit",
+    "repair_mode_imputation_accuracy",
+    "multimodal_video_scene_cuts",
 ]
 
 
