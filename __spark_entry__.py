@@ -256,6 +256,8 @@ _VERIFICATION_PRIORITY = [
     "privacy_l_diversity_audit",
     "repair_mode_imputation_accuracy",
     "multimodal_video_scene_cuts",
+    "ml_annotator_agreement_kappa",
+    "dedup_cross_source_matrix",
 ]
 
 
