@@ -258,6 +258,8 @@ _VERIFICATION_PRIORITY = [
     "multimodal_video_scene_cuts",
     "ml_annotator_agreement_kappa",
     "dedup_cross_source_matrix",
+    "graph_sssp_khop_cheapest",
+    "audience_overlap_matrix",
 ]
 
 
