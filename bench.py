@@ -245,6 +245,8 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "graph_sssp_khop_cheapest",
     "audience_overlap_matrix",
+    "supply_bullwhip_variance_ratio",
+    "queueing_littles_law_audit",
 ]
 
 
