@@ -262,6 +262,8 @@ _VERIFICATION_PRIORITY = [
     "audience_overlap_matrix",
     "supply_bullwhip_variance_ratio",
     "queueing_littles_law_audit",
+    "inventory_reorder_point_replay",
+    "auction_second_price_clearing",
 ]
 
 
