@@ -264,6 +264,8 @@ _VERIFICATION_PRIORITY = [
     "queueing_littles_law_audit",
     "inventory_reorder_point_replay",
     "auction_second_price_clearing",
+    "scheduling_knapsack_exact",
+    "emb_knn_distance_outliers",
 ]
 
 

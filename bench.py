@@ -249,6 +249,8 @@ HEADLINE = [
     "queueing_littles_law_audit",
     "inventory_reorder_point_replay",
     "auction_second_price_clearing",
+    "scheduling_knapsack_exact",
+    "emb_knn_distance_outliers",
 ]
 
 
