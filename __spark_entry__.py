@@ -266,6 +266,8 @@ _VERIFICATION_PRIORITY = [
     "auction_second_price_clearing",
     "scheduling_knapsack_exact",
     "emb_knn_distance_outliers",
+    "ml_model_scorecard",
+    "pipeline_refinery_capstone_v2",
 ]
 
 

@@ -251,6 +251,8 @@ HEADLINE = [
     "auction_second_price_clearing",
     "scheduling_knapsack_exact",
     "emb_knn_distance_outliers",
+    "ml_model_scorecard",
+    "pipeline_refinery_capstone_v2",
 ]
 
 
