@@ -268,6 +268,8 @@ _VERIFICATION_PRIORITY = [
     "emb_knn_distance_outliers",
     "ml_model_scorecard",
     "pipeline_refinery_capstone_v2",
+    "asof_nearest_purchase_click",
+    "multimodal_audio_vad_segments",
 ]
 
 
