@@ -108,5 +108,6 @@ from . import analytics72  # noqa: E402,F401
 from . import analytics73  # noqa: E402,F401
 from . import analytics74  # noqa: E402,F401
 from . import analytics75  # noqa: E402,F401
+from . import analytics76  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
