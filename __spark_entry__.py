@@ -270,6 +270,8 @@ _VERIFICATION_PRIORITY = [
     "pipeline_refinery_capstone_v2",
     "asof_nearest_purchase_click",
     "multimodal_audio_vad_segments",
+    "audit_duplicate_invoice_candidates",
+    "emb_fisher_separation_ratio",
 ]
 
 

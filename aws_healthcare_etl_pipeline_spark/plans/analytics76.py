@@ -1,13 +1,12 @@
 """Wave-102 (round 5): billing forensics + class-separation screening.
 
 * ``audit_duplicate_invoice_candidates`` — duplicate-billing
-  forensics: order pairs from the same customer with the IDENTICAL
-  cent amount within 3 days (the classic double-submit signature).
-  The pair join blocks on (customer, exact cents) — an equi-join,
-  so the quadratic-looking audit is really a per-(customer, amount)
-  group expansion whose fan-out only grows where true repeats
-  exist — then the day-band predicate trims to the suspicious
-  window. Per-segment rollup with the tightest repeat.
+  forensics: order pairs from the same customer within 7 days whose
+  amounts agree within 10% (integer cross-multiplication, no float
+  ratios) — the double-submit / re-key signature. The pair join is
+  a per-customer self-join whose fan-out is bounded by order
+  velocity inside the day band. Per-segment rollup with the
+  tightest repeat.
 * ``emb_fisher_separation_ratio`` — Fisher-style class-separation
   screening per embedding dimension: between-class scatter over
   within-class scatter on md5-balanced panels (every class
@@ -28,7 +27,8 @@ from .registry import query
 
 # -------------------------------------- duplicate invoice candidates
 
-_DUP_DAYS = 3
+_DUP_DAYS = 7
+_DUP_PCT = 10  # amounts within 10% (integer cross-multiplication)
 
 
 @query(
@@ -41,18 +41,19 @@ _DUP_DAYS = 3
                         AS BIGINT) AS cents
             FROM orders
         ), pairs AS (
-            SELECT a.o_custkey, a.cents,
-                   CAST(date_diff('day', a.dy, b.dy) AS BIGINT)
+            SELECT a.o_custkey,
+                   GREATEST(a.cents, b.cents) AS cents,
+                   CAST(abs(date_diff('day', a.dy, b.dy)) AS BIGINT)
                        AS gap_days
             FROM inv a JOIN inv b
               ON b.o_custkey = a.o_custkey
-             AND b.cents = a.cents
              AND a.o_orderkey < b.o_orderkey
              AND b.dy >= a.dy - {_DUP_DAYS}
              AND b.dy <= a.dy + {_DUP_DAYS}
+             AND abs(a.cents - b.cents) * 100
+                 < GREATEST(a.cents, b.cents) * {_DUP_PCT}
         ), attributed AS (
-            SELECT c.c_mktsegment AS segment, p.cents, abs(p.gap_days)
-                       AS gap_days
+            SELECT c.c_mktsegment AS segment, p.cents, p.gap_days
             FROM pairs p JOIN customer c ON c.c_custkey = p.o_custkey
         )
         SELECT segment,
@@ -64,15 +65,17 @@ _DUP_DAYS = 3
         ORDER BY segment
     """,
     description="Duplicate-billing forensics: order pairs from the "
-    "same customer with the IDENTICAL cent amount within 3 days — "
-    "the double-submit signature every AP audit hunts. The pair "
-    "join blocks on (customer, exact cents): an equi-join whose "
-    "fan-out only grows where true repeats exist (no all-pairs "
-    "anywhere), with the day band trimming to the suspicious "
-    "window and a<b on order keys deduping. Per-segment rollup "
-    "with the tightest gap and largest flagged amount. At 100 TB "
-    "this shuffles once on the (customer, cents) composite — the "
-    "same key a dedup pass would use.",
+    "same customer within 7 days whose amounts agree within 10% "
+    "(integer cross-multiplication |a-b|*100 < max*10 — no float "
+    "ratios) — the double-submit / re-key signature AP audits "
+    "hunt. The pair join is a per-customer self-join (equi on "
+    "custkey) whose fan-out is bounded by per-customer order "
+    "velocity inside the day band, never all-pairs; a<b on order "
+    "keys dedups. Per-segment rollup with the tightest gap and "
+    "largest flagged amount. At 100 TB this shuffles once on "
+    "custkey — and a (customer, week-bucket) composite key shards "
+    "pathological mega-customers if velocity ever makes the band "
+    "heavy.",
 )
 def audit_duplicate_invoice_candidates(
     spark: SparkSession, sf_dir: str
@@ -91,13 +94,16 @@ def audit_duplicate_invoice_candidates(
     pairs = a.join(
         b,
         (F.col("b.o_custkey") == F.col("a.o_custkey"))
-        & (F.col("b.cents") == F.col("a.cents"))
         & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
         & (F.col("b.dy") >= F.date_sub(F.col("a.dy"), _DUP_DAYS))
-        & (F.col("b.dy") <= F.date_add(F.col("a.dy"), _DUP_DAYS)),
+        & (F.col("b.dy") <= F.date_add(F.col("a.dy"), _DUP_DAYS))
+        & (
+            F.abs(F.col("a.cents") - F.col("b.cents")) * 100
+            < F.greatest(F.col("a.cents"), F.col("b.cents")) * _DUP_PCT
+        ),
     ).select(
         F.col("a.o_custkey").alias("o_custkey"),
-        F.col("a.cents").alias("cents"),
+        F.greatest(F.col("a.cents"), F.col("b.cents")).alias("cents"),
         F.abs(F.datediff(F.col("b.dy"), F.col("a.dy"))).alias("gap_days"),
     )
     cust = load_table(spark, sf_dir, "customer").select(

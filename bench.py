@@ -255,6 +255,8 @@ HEADLINE = [
     "pipeline_refinery_capstone_v2",
     "asof_nearest_purchase_click",
     "multimodal_audio_vad_segments",
+    "audit_duplicate_invoice_candidates",
+    "emb_fisher_separation_ratio",
 ]
 
 
