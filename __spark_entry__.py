@@ -272,6 +272,8 @@ _VERIFICATION_PRIORITY = [
     "multimodal_audio_vad_segments",
     "audit_duplicate_invoice_candidates",
     "emb_fisher_separation_ratio",
+    "fd_inclusion_dependency_discovery",
+    "forecast_croston_intermittent",
 ]
 
 

@@ -257,6 +257,8 @@ HEADLINE = [
     "multimodal_audio_vad_segments",
     "audit_duplicate_invoice_candidates",
     "emb_fisher_separation_ratio",
+    "fd_inclusion_dependency_discovery",
+    "forecast_croston_intermittent",
 ]
 
 
