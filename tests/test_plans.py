@@ -395,3 +395,36 @@ def test_r5_scale_shapes(spark, sf_dir):
     # BPE: each round's argmax is TakeOrdered(1), not a global sort
     plan = physical_plan(REGISTRY["text_bpe_merge_rounds"].fn(spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_r5_continuation_shapes(spark, sf_dir):
+    """Waves 80-103 pins: the new operators keep their scale-safe
+    shapes."""
+    # AUC screen: the midrank window is PARTITIONED by dim (histogram
+    # algebra) — no unpartitioned value-grain window anywhere
+    plan = physical_plan(REGISTRY["ml_auc_feature_screen"].fn(spark, sf_dir))
+    assert "windowspecdefinition(dim" in plan, plan
+    # kNN outliers: the panel rides a broadcast (bounded x128
+    # multiplier) — never a shuffled corpus x corpus join
+    plan = physical_plan(
+        REGISTRY["emb_knn_distance_outliers"].fn(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # duplicate-invoice audit: the pair join is keyed on custkey (an
+    # equi join), never a cartesian with residual filters
+    plan = physical_plan(
+        REGISTRY["audit_duplicate_invoice_candidates"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    # skip-gram: the context join is an equi join on doc_id (the
+    # tokenizer's own shuffle key), not a broadcast of the full token
+    # stream to every task
+    plan = physical_plan(REGISTRY["text_skipgram_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # Boruvka: star-hooking replaced the per-round generic CC loop —
+    # the whole build must run a bounded number of Spark jobs, which
+    # shows up as the plan containing NO window at all (hook + jump
+    # are aggregates and joins on checkpointed frames)
+    plan = physical_plan(REGISTRY["graph_mst_boruvka"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
