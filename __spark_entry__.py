@@ -274,6 +274,8 @@ _VERIFICATION_PRIORITY = [
     "emb_fisher_separation_ratio",
     "fd_inclusion_dependency_discovery",
     "forecast_croston_intermittent",
+    "stat_runs_test_daily",
+    "dq_freshness_staleness_audit",
 ]
 
 
