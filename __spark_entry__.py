@@ -276,6 +276,8 @@ _VERIFICATION_PRIORITY = [
     "forecast_croston_intermittent",
     "stat_runs_test_daily",
     "dq_freshness_staleness_audit",
+    "timeseries_best_split_changepoint",
+    "sampling_design_error_comparison",
 ]
 
 

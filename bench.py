@@ -261,6 +261,8 @@ HEADLINE = [
     "forecast_croston_intermittent",
     "stat_runs_test_daily",
     "dq_freshness_staleness_audit",
+    "timeseries_best_split_changepoint",
+    "sampling_design_error_comparison",
 ]
 
 
