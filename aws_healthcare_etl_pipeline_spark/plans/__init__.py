@@ -112,5 +112,6 @@ from . import analytics76  # noqa: E402,F401
 from . import analytics77  # noqa: E402,F401
 from . import analytics78  # noqa: E402,F401
 from . import analytics79  # noqa: E402,F401
+from . import analytics80  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -4,9 +4,10 @@
   step: per event type, the split day that maximizes the two-
   segment least-squares gain. Because the total sum of squares
   cancels, the objective reduces to f(k) = S_L^2/n_L + S_R^2/n_R
-  over PREFIX SUMS only; S^2 stays inside int64 and the int64 ->
-  double conversion plus two divisions are each single IEEE
-  roundings with identical expression trees, so the argmax sort
+  over PREFIX SUMS only; each prefix sum casts to double BEFORE
+  squaring (S^2 would overflow int64 at large scale — caught by
+  the sf1 sweep), and since cast/multiply/divide are each single
+  IEEE roundings with identical expression trees, the argmax sort
   key is bit-portable (ties to the earliest day). The structural-
   break locator that CUSUM's drift detector complements.
 * ``sampling_design_error_comparison`` — estimator bake-off on a
@@ -55,8 +56,9 @@ _BS_MIN_SEG = 5  # minimum days per segment
         ), scored AS (
             SELECT event_type, dy, k, n, s_l, s - s_l AS s_r,
                    n - k AS n_r,
-                   CAST(s_l * s_l AS DOUBLE) / CAST(k AS DOUBLE)
-                   + CAST((s - s_l) * (s - s_l) AS DOUBLE)
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)
+                       / CAST(k AS DOUBLE)
+                   + CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE)
                      / CAST(n - k AS DOUBLE) AS f
             FROM pre
             WHERE k >= {_BS_MIN_SEG} AND n - k >= {_BS_MIN_SEG}
@@ -78,9 +80,10 @@ _BS_MIN_SEG = 5  # minimum days per segment
     description="Least-squares changepoint (the binary-segmentation "
     "step) per event type: the split maximizing the two-segment "
     "SSE gain, which reduces to f(k) = S_L^2/k + S_R^2/(n-k) over "
-    "prefix sums alone (the sum-of-squares term cancels) — S^2 "
-    "stays in int64 and the int64->double cast plus divisions are "
-    "single IEEE roundings with identical expression trees, so the "
+    "prefix sums alone (the sum-of-squares term cancels) — prefix "
+    "sums cast to double BEFORE squaring (int64 S^2 overflows at "
+    "sf1, a sweep-caught bug) and cast/multiply/divide are single "
+    "IEEE roundings with identical expression trees, so the "
     "argmax key is bit-portable, ties to the earliest day. The "
     "structural-break locator complementing the CUSUM drift "
     "detector. Scale: events collapse to day grain map-side; "
@@ -119,11 +122,11 @@ def timeseries_best_split_changepoint(
         "s_l",
         (F.col("s") - F.col("s_l")).alias("s_r"),
         (
-            (F.col("s_l") * F.col("s_l")).cast("double")
+            F.col("s_l").cast("double")
+            * F.col("s_l").cast("double")
             / F.col("k").cast("double")
-            + (
-                (F.col("s") - F.col("s_l")) * (F.col("s") - F.col("s_l"))
-            ).cast("double")
+            + (F.col("s") - F.col("s_l")).cast("double")
+            * (F.col("s") - F.col("s_l")).cast("double")
             / (F.col("n") - F.col("k")).cast("double")
         ).alias("f"),
     )
