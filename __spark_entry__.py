@@ -278,6 +278,8 @@ _VERIFICATION_PRIORITY = [
     "dq_freshness_staleness_audit",
     "timeseries_best_split_changepoint",
     "sampling_design_error_comparison",
+    "events_circular_hour_stats",
+    "graph_degree_assortativity",
 ]
 
 

@@ -263,6 +263,8 @@ HEADLINE = [
     "dq_freshness_staleness_audit",
     "timeseries_best_split_changepoint",
     "sampling_design_error_comparison",
+    "events_circular_hour_stats",
+    "graph_degree_assortativity",
 ]
 
 
