@@ -113,5 +113,6 @@ from . import analytics77  # noqa: E402,F401
 from . import analytics78  # noqa: E402,F401
 from . import analytics79  # noqa: E402,F401
 from . import analytics80  # noqa: E402,F401
+from . import analytics81  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]
