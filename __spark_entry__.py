@@ -136,6 +136,10 @@ _VERIFICATION_PRIORITY = [
     "multimodal_phash_dedup",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
+    "approx_cms_count_estimates",
+    "stats_ndv_correlation_audit",
+    "experiment_cuped_variance_reduction",
+    "geo_point_in_polygon_winding",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",
