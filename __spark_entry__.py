@@ -140,6 +140,8 @@ _VERIFICATION_PRIORITY = [
     "stats_ndv_correlation_audit",
     "experiment_cuped_variance_reduction",
     "geo_point_in_polygon_winding",
+    "ml_gini_stump_induction",
+    "stats_benjamini_hochberg_fdr",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -1,0 +1,340 @@
+"""Wave-109 (round 5): histogram-based decision-stump induction +
+Benjamini-Hochberg FDR control on distribution-free p-bounds.
+
+* ``ml_gini_stump_induction`` — the split-finding kernel of every
+  gradient-boosted-tree library (LightGBM/XGBoost "hist" mode):
+  candidate thresholds come from a BOUNDED price-bucket histogram,
+  prefix sums give every split's left/right class counts in one
+  pass, and the weighted Gini impurity of each split is an EXACT
+  rational — compared via a single quantized integer key computed
+  with DECIMAL(38)/HUGEINT floor division (truncation semantics
+  verified identical across engines).
+* ``stats_benjamini_hochberg_fdr`` — the standard multiple-testing
+  step-up procedure, run on exact Mann-Whitney statistics (midrank
+  histogram identity, no global sort) with Chebyshev p-bounds:
+  p <= Var(2U) / dev^2 is a true distribution-free bound and a
+  fully rational quantity, so the whole pipeline — rank sums,
+  p quantization, the BH step-up inequality p_(k)*m <= k*alpha —
+  is integer arithmetic that hashes identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.cumsum import distributed_running_total
+from ..sources.tables import load_table
+from .registry import query
+
+# ------------------------------------------- Gini stump induction
+
+_BUCKET_CENTS = 2_000_000  # $20k candidate-threshold grid
+
+
+@query(
+    "ml_gini_stump_induction",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+                        AS BIGINT) AS cents,
+                   CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
+                        THEN 1 ELSE 0 END AS pos
+            FROM orders
+        ), hist AS (
+            SELECT cents // {_BUCKET_CENTS} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_b,
+                   CAST(SUM(pos) AS BIGINT) AS pos_b
+            FROM x GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+                   CAST(SUM(pos_b) AS BIGINT) AS p
+            FROM hist
+        ), cum AS (
+            SELECT b,
+                   CAST(SUM(n_b) OVER w AS BIGINT) AS n_l,
+                   CAST(SUM(pos_b) OVER w AS BIGINT) AS pos_l
+            FROM hist
+            WINDOW w AS (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), cand AS (
+            SELECT b, n_l, pos_l,
+                   t.n - n_l AS n_r, t.p - pos_l AS pos_r,
+                   n_l - pos_l AS neg_l,
+                   (t.n - n_l) - (t.p - pos_l) AS neg_r
+            FROM cum CROSS JOIN tot t
+            WHERE n_l > 0 AND t.n - n_l > 0
+        ), scored AS (
+            SELECT b, n_l, pos_l, n_r, pos_r,
+                   CAST((CAST(n_r AS HUGEINT)
+                             * (n_l * n_l - pos_l * pos_l - neg_l * neg_l)
+                         + CAST(n_l AS HUGEINT)
+                             * (n_r * n_r - pos_r * pos_r - neg_r * neg_r))
+                        * 1000000
+                        // (CAST(n_l AS HUGEINT) * n_r) AS BIGINT)
+                       AS wgini_sum_micro
+            FROM cand
+        )
+        SELECT b AS split_bucket,
+               CAST((b + 1) * {_BUCKET_CENTS} AS BIGINT)
+                   AS split_price_cents,
+               n_l, pos_l, n_r, pos_r, wgini_sum_micro,
+               CASE WHEN ROW_NUMBER() OVER (ORDER BY wgini_sum_micro, b)
+                         = 1 THEN 1 ELSE 0 END AS is_best
+        FROM scored ORDER BY split_bucket
+    """,
+    description="Decision-stump induction exactly as the "
+    "histogram-mode GBDT libraries do it at scale: candidate "
+    "thresholds are a FIXED $20k price grid (bounded spine "
+    "regardless of data volume), one partial-agg shuffle builds the "
+    "(bucket -> count, positives) histogram, prefix sums over the "
+    "bounded spine give every candidate split's left/right class "
+    "counts simultaneously, and the weighted Gini impurity "
+    "nL*gini_L + nR*gini_R = (nL^2-pos^2-neg^2)/nL + ... is an "
+    "exact rational scored by ONE quantized integer key — Spark "
+    "DECIMAL(38) `div` and DuckDB HUGEINT `//` share truncation "
+    "semantics, so the micro-quantized impurity and the argmin flag "
+    "hash identically. The 100 TB shape: the fact table is touched "
+    "by exactly one map-side-combinable aggregation; everything "
+    "after runs on a ~40-row histogram. This is why hist-mode GBDT "
+    "beats exact split enumeration on big data — the query "
+    "demonstrates the kernel as a first-class relational plan.",
+)
+def ml_gini_stump_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    hist = x.groupBy(
+        F.expr(f"cents div {_BUCKET_CENTS}").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("pos").cast("long").alias("pos_b"),
+    )
+    tot = hist.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("pos_b").cast("long").alias("p"),
+    )
+    # bounded spine (fixed price-grid cardinality): ordered window OK
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cand = (
+        hist.select(
+            "b",
+            F.sum("n_b").over(w).cast("long").alias("n_l"),
+            F.sum("pos_b").over(w).cast("long").alias("pos_l"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_r", (F.col("n") - F.col("n_l")).cast("long"))
+        .withColumn("pos_r", (F.col("p") - F.col("pos_l")).cast("long"))
+        .withColumn("neg_l", F.col("n_l") - F.col("pos_l"))
+        .withColumn("neg_r", F.col("n_r") - F.col("pos_r"))
+        .where((F.col("n_l") > 0) & (F.col("n_r") > 0))
+    )
+    d38 = "decimal(38,0)"
+    scored = cand.withColumn(
+        "wgini_sum_micro",
+        F.expr(
+            f"""CAST((CAST(n_r AS {d38})
+                          * (n_l * n_l - pos_l * pos_l - neg_l * neg_l)
+                      + CAST(n_l AS {d38})
+                          * (n_r * n_r - pos_r * pos_r - neg_r * neg_r))
+                     * 1000000
+                     div (CAST(n_l AS {d38}) * n_r) AS LONG)"""
+        ),
+    )
+    best = Window.orderBy("wgini_sum_micro", "b")  # bounded spine
+    return scored.select(
+        F.col("b").alias("split_bucket"),
+        ((F.col("b") + 1) * _BUCKET_CENTS)
+        .cast("long")
+        .alias("split_price_cents"),
+        "n_l",
+        "pos_l",
+        "n_r",
+        "pos_r",
+        "wgini_sum_micro",
+        F.when(F.row_number().over(best) == 1, 1)
+        .otherwise(0)
+        .alias("is_best"),
+    ).orderBy("split_bucket")
+
+
+# --------------------------------------- Benjamini-Hochberg FDR
+
+_ALPHA_NANO = 50_000_000  # alpha = 0.05 on the nano-p scale
+
+
+@query(
+    "stats_benjamini_hochberg_fdr",
+    oracle=f"""
+        WITH x AS (
+            SELECT c_nationkey AS g,
+                   CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100
+                        AS BIGINT) AS v
+            FROM customer
+        ), hist AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS h FROM x GROUP BY v
+        ), cum AS (
+            SELECT v, h,
+                   CAST(COALESCE(SUM(h) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS c_before
+            FROM hist
+        ), gh AS (
+            SELECT g, v, CAST(COUNT(*) AS BIGINT) AS hj
+            FROM x GROUP BY g, v
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x
+        ), stats AS (
+            SELECT gh.g,
+                   CAST(SUM(gh.hj) AS BIGINT) AS n_j,
+                   CAST(SUM(gh.hj * (2 * c.c_before + c.h + 1))
+                        - SUM(gh.hj) * (SUM(gh.hj) + 1)
+                        - SUM(gh.hj) * (t.n - SUM(gh.hj)) AS BIGINT)
+                       AS dev_x2,
+                   t.n AS n
+            FROM gh JOIN cum c ON c.v = gh.v CROSS JOIN tot t
+            GROUP BY gh.g, t.n
+        ), pvals AS (
+            SELECT g, n_j, dev_x2,
+                   CASE WHEN dev_x2 = 0 THEN 1000000000
+                        ELSE LEAST(1000000000, CAST(
+                            (CAST(n_j AS HUGEINT) * (n - n_j) * (n + 1)
+                             * 1000000000)
+                            // (3 * CAST(dev_x2 AS HUGEINT) * dev_x2)
+                            AS BIGINT))
+                   END AS p_nano
+            FROM stats
+        ), ranked AS (
+            SELECT g, n_j, dev_x2, p_nano,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_nano, g) AS BIGINT)
+                       AS bh_rank,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM pvals
+        ), cut AS (
+            SELECT *,
+                   CAST(COALESCE(MAX(CASE WHEN p_nano * m
+                                               <= bh_rank * {_ALPHA_NANO}
+                                          THEN bh_rank END) OVER (), 0)
+                        AS BIGINT) AS k_max
+            FROM ranked
+        )
+        SELECT g AS nationkey, n_j, dev_x2, p_nano, bh_rank,
+               CASE WHEN bh_rank <= k_max THEN 1 ELSE 0 END AS rejected
+        FROM cut ORDER BY nationkey
+    """,
+    description="Benjamini-Hochberg FDR control (alpha=0.05) over 25 "
+    "simultaneous nation-vs-rest balance comparisons — the standard "
+    "guard against false discoveries when a dashboard tests many "
+    "segments at once. Everything is exact: Mann-Whitney doubled "
+    "rank sums come from the midrank histogram identity (one value "
+    "histogram, two partial-agg shuffles, NO global sort), the "
+    "p-value is the Chebyshev bound Var(2U)/dev^2 — a true "
+    "distribution-free bound that is a ratio of integers — "
+    "quantized to nano via HUGEINT/DECIMAL(38) floor division, and "
+    "the BH step-up rule p_(k)*m <= k*alpha runs as an integer "
+    "inequality on the bounded 25-row hypothesis table. At 100 TB "
+    "the fact-scale work is the histogram build; the spine prefix "
+    "uses the two-level carry decomposition, and the step-up "
+    "procedure itself touches m rows however big the data.",
+)
+def stats_benjamini_hochberg_fdr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"),
+        (F.col("c_acctbal").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    hist = cust.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    cum = distributed_running_total(
+        hist.withColumn("vb", F.expr("v div 1048576")),
+        F.col("h"),
+        "vb",
+        ["v"],
+        out_col="c_incl",
+        zero=F.lit(0).cast("bigint"),
+    ).withColumn("c_before", (F.col("c_incl") - F.col("h")).cast("long"))
+    gh = cust.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("hj")
+    )
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = (
+        gh.join(cum.select("v", "h", "c_before"), "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("g", "n")
+        .agg(
+            F.sum("hj").cast("long").alias("n_j"),
+            F.sum(F.col("hj") * (2 * F.col("c_before") + F.col("h") + 1))
+            .cast("long")
+            .alias("r2"),
+        )
+        .select(
+            "g",
+            "n_j",
+            (
+                F.col("r2")
+                - F.col("n_j") * (F.col("n_j") + 1)
+                - F.col("n_j") * (F.col("n") - F.col("n_j"))
+            )
+            .cast("long")
+            .alias("dev_x2"),
+            "n",
+        )
+    )
+    d38 = "decimal(38,0)"
+    pvals = stats.withColumn(
+        "p_nano",
+        F.expr(
+            f"""CASE WHEN dev_x2 = 0 THEN 1000000000
+                 ELSE LEAST(CAST(1000000000 AS BIGINT), CAST(
+                     (CAST(n_j AS {d38}) * (n - n_j) * (n + 1)
+                      * 1000000000)
+                     div (3 * CAST(dev_x2 AS {d38}) * dev_x2)
+                     AS LONG))
+                 END"""
+        ),
+    ).select("g", "n_j", "dev_x2", "p_nano")
+    # bounded 25-row hypothesis table: unpartitioned windows OK
+    wrank = Window.orderBy("p_nano", "g")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(wrank).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    )
+    cut = ranked.withColumn(
+        "k_max",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_nano") * F.col("m")
+                    <= F.col("bh_rank") * _ALPHA_NANO,
+                    F.col("bh_rank"),
+                )
+            ).over(wall),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return cut.select(
+        F.col("g").alias("nationkey"),
+        "n_j",
+        "dev_x2",
+        "p_nano",
+        "bh_rank",
+        F.when(F.col("bh_rank") <= F.col("k_max"), 1)
+        .otherwise(0)
+        .alias("rejected"),
+    ).orderBy("nationkey")

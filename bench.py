@@ -265,6 +265,12 @@ HEADLINE = [
     "sampling_design_error_comparison",
     "events_circular_hour_stats",
     "graph_degree_assortativity",
+    "approx_cms_count_estimates",
+    "stats_ndv_correlation_audit",
+    "experiment_cuped_variance_reduction",
+    "geo_point_in_polygon_winding",
+    "ml_gini_stump_induction",
+    "stats_benjamini_hochberg_fdr",
 ]
 
 
