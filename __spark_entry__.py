@@ -142,6 +142,8 @@ _VERIFICATION_PRIORITY = [
     "geo_point_in_polygon_winding",
     "ml_gini_stump_induction",
     "stats_benjamini_hochberg_fdr",
+    "stats_bootstrap_ci_deterministic",
+    "ml_qini_uplift_deciles",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -271,6 +271,8 @@ HEADLINE = [
     "geo_point_in_polygon_winding",
     "ml_gini_stump_induction",
     "stats_benjamini_hochberg_fdr",
+    "stats_bootstrap_ci_deterministic",
+    "ml_qini_uplift_deciles",
 ]
 
 
