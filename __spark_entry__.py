@@ -144,6 +144,8 @@ _VERIFICATION_PRIORITY = [
     "stats_benjamini_hochberg_fdr",
     "stats_bootstrap_ci_deterministic",
     "ml_qini_uplift_deciles",
+    "dedup_containment_asymmetric",
+    "ml_permutation_feature_importance",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

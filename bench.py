@@ -273,6 +273,8 @@ HEADLINE = [
     "stats_benjamini_hochberg_fdr",
     "stats_bootstrap_ci_deterministic",
     "ml_qini_uplift_deciles",
+    "dedup_containment_asymmetric",
+    "ml_permutation_feature_importance",
 ]
 
 
