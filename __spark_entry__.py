@@ -146,6 +146,8 @@ _VERIFICATION_PRIORITY = [
     "ml_qini_uplift_deciles",
     "dedup_containment_asymmetric",
     "ml_permutation_feature_importance",
+    "graph_betweenness_nations",
+    "forecast_pinball_loss_eval",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

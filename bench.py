@@ -275,6 +275,8 @@ HEADLINE = [
     "ml_qini_uplift_deciles",
     "dedup_containment_asymmetric",
     "ml_permutation_feature_importance",
+    "graph_betweenness_nations",
+    "forecast_pinball_loss_eval",
 ]
 
 
