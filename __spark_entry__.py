@@ -148,6 +148,8 @@ _VERIFICATION_PRIORITY = [
     "ml_permutation_feature_importance",
     "graph_betweenness_nations",
     "forecast_pinball_loss_eval",
+    "privacy_randomized_response_estimate",
+    "stats_histogram_selectivity_audit",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

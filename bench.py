@@ -277,6 +277,8 @@ HEADLINE = [
     "ml_permutation_feature_importance",
     "graph_betweenness_nations",
     "forecast_pinball_loss_eval",
+    "privacy_randomized_response_estimate",
+    "stats_histogram_selectivity_audit",
 ]
 
 
