@@ -150,6 +150,8 @@ _VERIFICATION_PRIORITY = [
     "forecast_pinball_loss_eval",
     "privacy_randomized_response_estimate",
     "stats_histogram_selectivity_audit",
+    "events_peak_prominence_daily",
+    "events_heavy_hitters_mg_replay",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

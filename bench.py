@@ -279,6 +279,8 @@ HEADLINE = [
     "forecast_pinball_loss_eval",
     "privacy_randomized_response_estimate",
     "stats_histogram_selectivity_audit",
+    "events_peak_prominence_daily",
+    "events_heavy_hitters_mg_replay",
 ]
 
 
