@@ -117,7 +117,7 @@ def ml_gini_stump_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_b"),
         F.sum("pos").cast("long").alias("pos_b"),
-    )
+    ).localCheckpoint(eager=False)  # bounded spine; feeds tot AND cand
     tot = hist.agg(
         F.sum("n_b").cast("long").alias("n"),
         F.sum("pos_b").cast("long").alias("p"),

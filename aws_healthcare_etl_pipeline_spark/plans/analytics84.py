@@ -105,7 +105,7 @@ def stats_bootstrap_ci_deterministic(
     spine = daily.select(
         "cents",
         F.row_number().over(Window.orderBy("day")).cast("long").alias("pos"),
-    )
+    ).localCheckpoint(eager=False)  # bounded spine; feeds draws/join/tot
     tot = spine.agg(F.count(F.lit(1)).cast("long").alias("n"))
     draws = (
         spine.select(

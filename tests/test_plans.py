@@ -428,3 +428,43 @@ def test_r5_continuation_shapes(spark, sf_dir):
     # are aggregates and joins on checkpointed frames)
     plan = physical_plan(REGISTRY["graph_mst_boruvka"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_r5_wave107plus_shapes(spark, sf_dir):
+    """Waves 107-114 pins: new operators keep their scale-safe shapes."""
+    # Gini stump: the fact table feeds ONE histogram aggregation —
+    # every candidate split is prefix algebra on the bounded bucket
+    # spine, so the plan scans orders exactly once
+    plan = physical_plan(REGISTRY["ml_gini_stump_induction"].fn(spark, sf_dir))
+    assert plan.count("orders.parquet") <= 1, plan
+    # selectivity audit: equi-width AND equi-depth histograms AND the
+    # exact truth all derive from one value-grain histogram — one scan
+    plan = physical_plan(
+        REGISTRY["stats_histogram_selectivity_audit"].fn(spark, sf_dir)
+    )
+    assert plan.count("orders.parquet") <= 1, plan
+    # containment dedup: candidate pairs come from an equi join on the
+    # shingle key (inverted index), never a cartesian of documents
+    plan = physical_plan(
+        REGISTRY["dedup_containment_asymmetric"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    # betweenness: BFS rounds + the three reach self-joins are all equi
+    # joins; the only nested-loop is the broadcast of 1-row stats
+    plan = physical_plan(
+        REGISTRY["graph_betweenness_nations"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    # peak prominence: the quadratic saddle lookups run as BROADCAST
+    # nested loops on the bounded day spine, never a shuffled cartesian
+    plan = physical_plan(
+        REGISTRY["events_peak_prominence_daily"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    # bootstrap: resample draws join the day spine on an equi key (the
+    # drawn position), not by replicating the fact table
+    plan = physical_plan(
+        REGISTRY["stats_bootstrap_ci_deterministic"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("orders.parquet") <= 1, plan
