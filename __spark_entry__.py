@@ -152,6 +152,8 @@ _VERIFICATION_PRIORITY = [
     "stats_histogram_selectivity_audit",
     "events_peak_prominence_daily",
     "events_heavy_hitters_mg_replay",
+    "forecast_holt_linear_replay",
+    "experiment_ipw_confounder_correction",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

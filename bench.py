@@ -281,6 +281,8 @@ HEADLINE = [
     "stats_histogram_selectivity_audit",
     "events_peak_prominence_daily",
     "events_heavy_hitters_mg_replay",
+    "forecast_holt_linear_replay",
+    "experiment_ipw_confounder_correction",
 ]
 
 
