@@ -154,6 +154,8 @@ _VERIFICATION_PRIORITY = [
     "events_heavy_hitters_mg_replay",
     "forecast_holt_linear_replay",
     "experiment_ipw_confounder_correction",
+    "timeseries_dtw_monthly",
+    "layout_delta_varint_economics",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

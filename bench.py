@@ -283,6 +283,8 @@ HEADLINE = [
     "events_heavy_hitters_mg_replay",
     "forecast_holt_linear_replay",
     "experiment_ipw_confounder_correction",
+    "timeseries_dtw_monthly",
+    "layout_delta_varint_economics",
 ]
 
 
