@@ -156,6 +156,8 @@ _VERIFICATION_PRIORITY = [
     "experiment_ipw_confounder_correction",
     "timeseries_dtw_monthly",
     "layout_delta_varint_economics",
+    "ml_roc_threshold_sweep",
+    "inventory_eoq_batch_sizing",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -285,6 +285,8 @@ HEADLINE = [
     "experiment_ipw_confounder_correction",
     "timeseries_dtw_monthly",
     "layout_delta_varint_economics",
+    "ml_roc_threshold_sweep",
+    "inventory_eoq_batch_sizing",
 ]
 
 
