@@ -158,6 +158,8 @@ _VERIFICATION_PRIORITY = [
     "layout_delta_varint_economics",
     "ml_roc_threshold_sweep",
     "inventory_eoq_batch_sizing",
+    "stat_mood_dispersion_test",
+    "ops_erlang_b_blocking",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

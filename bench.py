@@ -287,6 +287,8 @@ HEADLINE = [
     "layout_delta_varint_economics",
     "ml_roc_threshold_sweep",
     "inventory_eoq_batch_sizing",
+    "stat_mood_dispersion_test",
+    "ops_erlang_b_blocking",
 ]
 
 
