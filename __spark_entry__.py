@@ -160,6 +160,8 @@ _VERIFICATION_PRIORITY = [
     "inventory_eoq_batch_sizing",
     "stat_mood_dispersion_test",
     "ops_erlang_b_blocking",
+    "multimodal_audio_pitch_autocorr",
+    "pipeline_dataloader_shuffle_audit",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

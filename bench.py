@@ -289,6 +289,8 @@ HEADLINE = [
     "inventory_eoq_batch_sizing",
     "stat_mood_dispersion_test",
     "ops_erlang_b_blocking",
+    "multimodal_audio_pitch_autocorr",
+    "pipeline_dataloader_shuffle_audit",
 ]
 
 
