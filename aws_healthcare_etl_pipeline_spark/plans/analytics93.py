@@ -34,7 +34,9 @@ from .registry import query
 
 _LAG_MIN = 8
 _LAG_MAX = 32
+_LAG_STEP = 2
 _DC = 96
+_FRAME = 128  # analysis frame: pitch needs a frame, not the payload
 _MIN_SAMPLES = 96  # need n > 3 * LAG_MAX for a stable estimate
 
 
@@ -50,11 +52,13 @@ _MIN_SAMPLES = 96  # need n > 3 * LAG_MAX for a stable estimate
                                            c -> c <> ''),
                                c -> ascii(c)),
                            s -> s BETWEEN 32 AND 126),
-                       s -> s - {_DC}) AS sc
+                       s -> s - {_DC}) AS sc0
             FROM documents
         ), sized AS (
-            SELECT doc_id, source, sc, len(sc) AS n
-            FROM smp WHERE len(sc) >= {_MIN_SAMPLES}
+            SELECT doc_id, source,
+                   list_slice(sc0, 1, {_FRAME}) AS sc,
+                   least(len(sc0), {_FRAME}) AS n
+            FROM smp WHERE len(sc0) >= {_MIN_SAMPLES}
         ), lagged AS (
             SELECT doc_id, source, t,
                    CAST(list_sum(list_transform(
@@ -62,7 +66,8 @@ _MIN_SAMPLES = 96  # need n > 3 * LAG_MAX for a stable estimate
                        i -> CAST(sc[i] * sc[i + t] AS BIGINT)))
                        AS BIGINT) AS r
             FROM sized,
-                 (SELECT unnest(range({_LAG_MIN}, {_LAG_MAX} + 1)) AS t)
+                 (SELECT unnest(range({_LAG_MIN}, {_LAG_MAX} + 1, {_LAG_STEP}))
+                      AS t)
         ), best AS (
             SELECT doc_id, source, MAX(r) AS rmax FROM lagged
             GROUP BY 1, 2
@@ -79,7 +84,7 @@ _MIN_SAMPLES = 96  # need n > 3 * LAG_MAX for a stable estimate
     """,
     description="Time-domain pitch detection over opaque audio "
     "payloads: autocorrelation R(tau) = sum s[i]*s[i+tau] of DC-"
-    "centered samples for lags 8..32, per-payload argmax with "
+    "centered samples for 13 candidate lags 8..32 (step 2) over a 128-sample analysis frame (pitch needs a frame, not the payload — and higher-order lambdas run interpreted, so frame x lag count IS the cost model), per-payload argmax with "
     "smallest-lag tie-break (MAX(r) then MIN(t) at the max — the "
     "engine-portable two-aggregate argmax), rolled up to a period "
     "histogram per source. The per-lag correlations are exact int64 "
@@ -105,15 +110,20 @@ def multimodal_audio_pitch_autocorr(
         lambda s: s - _DC,
     )
     sized = (
-        docs.select("doc_id", "source", sc.alias("sc"))
-        .withColumn("n", F.size("sc"))
-        .where(F.col("n") >= _MIN_SAMPLES)
+        docs.select("doc_id", "source", sc.alias("sc0"))
+        .where(F.size("sc0") >= _MIN_SAMPLES)
+        .select(
+            "doc_id",
+            "source",
+            F.slice("sc0", 1, _FRAME).alias("sc"),
+            F.least(F.size("sc0"), F.lit(_FRAME)).alias("n"),
+        )
     )
     lagged = sized.select(
         "doc_id",
         "source",
         F.explode(
-            F.sequence(F.lit(_LAG_MIN), F.lit(_LAG_MAX))
+            F.sequence(F.lit(_LAG_MIN), F.lit(_LAG_MAX), F.lit(_LAG_STEP))
         ).alias("t"),
         "sc",
         "n",
