@@ -162,6 +162,8 @@ _VERIFICATION_PRIORITY = [
     "ops_erlang_b_blocking",
     "multimodal_audio_pitch_autocorr",
     "pipeline_dataloader_shuffle_audit",
+    "linkage_fellegi_sunter_scores",
+    "events_markov_stationary_power",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -291,6 +291,8 @@ HEADLINE = [
     "ops_erlang_b_blocking",
     "multimodal_audio_pitch_autocorr",
     "pipeline_dataloader_shuffle_audit",
+    "linkage_fellegi_sunter_scores",
+    "events_markov_stationary_power",
 ]
 
 
