@@ -164,6 +164,8 @@ _VERIFICATION_PRIORITY = [
     "pipeline_dataloader_shuffle_audit",
     "linkage_fellegi_sunter_scores",
     "events_markov_stationary_power",
+    "stat_exact_permutation_pvalue",
+    "text_burrows_delta_stylometry",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

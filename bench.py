@@ -293,6 +293,8 @@ HEADLINE = [
     "pipeline_dataloader_shuffle_audit",
     "linkage_fellegi_sunter_scores",
     "events_markov_stationary_power",
+    "stat_exact_permutation_pvalue",
+    "text_burrows_delta_stylometry",
 ]
 
 
