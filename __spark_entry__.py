@@ -166,6 +166,8 @@ _VERIFICATION_PRIORITY = [
     "events_markov_stationary_power",
     "stat_exact_permutation_pvalue",
     "text_burrows_delta_stylometry",
+    "quality_shewhart_control_chart",
+    "graph_eccentricity_diameter",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -295,6 +295,8 @@ HEADLINE = [
     "events_markov_stationary_power",
     "stat_exact_permutation_pvalue",
     "text_burrows_delta_stylometry",
+    "quality_shewhart_control_chart",
+    "graph_eccentricity_diameter",
 ]
 
 
