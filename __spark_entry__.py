@@ -168,6 +168,8 @@ _VERIFICATION_PRIORITY = [
     "text_burrows_delta_stylometry",
     "quality_shewhart_control_chart",
     "graph_eccentricity_diameter",
+    "inventory_newsvendor_quantile",
+    "experiment_srm_guardrail",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

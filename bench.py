@@ -297,6 +297,8 @@ HEADLINE = [
     "text_burrows_delta_stylometry",
     "quality_shewhart_control_chart",
     "graph_eccentricity_diameter",
+    "inventory_newsvendor_quantile",
+    "experiment_srm_guardrail",
 ]
 
 
