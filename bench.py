@@ -299,6 +299,12 @@ HEADLINE = [
     "graph_eccentricity_diameter",
     "inventory_newsvendor_quantile",
     "experiment_srm_guardrail",
+    "stats_jackknife_ratio_variance",
+    "ml_evalset_sizing_curve",
+    "ml_average_precision_exact",
+    "ops_cron_schedule_expansion",
+    "ml_mcnemar_paired_classifiers",
+    "serving_decayed_leaderboard",
 ]
 
 
