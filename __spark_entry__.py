@@ -176,6 +176,8 @@ _VERIFICATION_PRIORITY = [
     "ops_cron_schedule_expansion",
     "ml_mcnemar_paired_classifiers",
     "serving_decayed_leaderboard",
+    "timeseries_kadane_extremes",
+    "orders_abc_xyz_classification",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -305,6 +305,8 @@ HEADLINE = [
     "ops_cron_schedule_expansion",
     "ml_mcnemar_paired_classifiers",
     "serving_decayed_leaderboard",
+    "timeseries_kadane_extremes",
+    "orders_abc_xyz_classification",
 ]
 
 
