@@ -178,6 +178,8 @@ _VERIFICATION_PRIORITY = [
     "serving_decayed_leaderboard",
     "timeseries_kadane_extremes",
     "orders_abc_xyz_classification",
+    "graph_jaccard_link_prediction",
+    "events_poisson_dispersion_test",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

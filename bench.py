@@ -307,6 +307,8 @@ HEADLINE = [
     "serving_decayed_leaderboard",
     "timeseries_kadane_extremes",
     "orders_abc_xyz_classification",
+    "graph_jaccard_link_prediction",
+    "events_poisson_dispersion_test",
 ]
 
 
