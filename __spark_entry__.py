@@ -180,6 +180,8 @@ _VERIFICATION_PRIORITY = [
     "orders_abc_xyz_classification",
     "graph_jaccard_link_prediction",
     "events_poisson_dispersion_test",
+    "streaming_windowed_topk_types",
+    "ops_kingman_vut_approximation",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -309,6 +309,8 @@ HEADLINE = [
     "orders_abc_xyz_classification",
     "graph_jaccard_link_prediction",
     "events_poisson_dispersion_test",
+    "streaming_windowed_topk_types",
+    "ops_kingman_vut_approximation",
 ]
 
 
