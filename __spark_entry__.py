@@ -182,6 +182,8 @@ _VERIFICATION_PRIORITY = [
     "events_poisson_dispersion_test",
     "streaming_windowed_topk_types",
     "ops_kingman_vut_approximation",
+    "optimizer_join_order_cost_audit",
+    "customer_value_tier_migration",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

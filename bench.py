@@ -311,6 +311,8 @@ HEADLINE = [
     "events_poisson_dispersion_test",
     "streaming_windowed_topk_types",
     "ops_kingman_vut_approximation",
+    "optimizer_join_order_cost_audit",
+    "customer_value_tier_migration",
 ]
 
 
