@@ -184,6 +184,8 @@ _VERIFICATION_PRIORITY = [
     "ops_kingman_vut_approximation",
     "optimizer_join_order_cost_audit",
     "customer_value_tier_migration",
+    "emb_jl_projection_distortion",
+    "ops_incident_mttr_stats",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -313,6 +313,8 @@ HEADLINE = [
     "ops_kingman_vut_approximation",
     "optimizer_join_order_cost_audit",
     "customer_value_tier_migration",
+    "emb_jl_projection_distortion",
+    "ops_incident_mttr_stats",
 ]
 
 
