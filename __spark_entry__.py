@@ -186,6 +186,8 @@ _VERIFICATION_PRIORITY = [
     "customer_value_tier_migration",
     "emb_jl_projection_distortion",
     "ops_incident_mttr_stats",
+    "stat_spearman_rank_correlation",
+    "sql_not_in_null_trap_battery",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -315,6 +315,8 @@ HEADLINE = [
     "customer_value_tier_migration",
     "emb_jl_projection_distortion",
     "ops_incident_mttr_stats",
+    "stat_spearman_rank_correlation",
+    "sql_not_in_null_trap_battery",
 ]
 
 
