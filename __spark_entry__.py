@@ -188,6 +188,8 @@ _VERIFICATION_PRIORITY = [
     "ops_incident_mttr_stats",
     "stat_spearman_rank_correlation",
     "sql_not_in_null_trap_battery",
+    "finance_net_dollar_retention",
+    "stats_cusum_arl_calibration",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

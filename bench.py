@@ -317,6 +317,8 @@ HEADLINE = [
     "ops_incident_mttr_stats",
     "stat_spearman_rank_correlation",
     "sql_not_in_null_trap_battery",
+    "finance_net_dollar_retention",
+    "stats_cusum_arl_calibration",
 ]
 
 
