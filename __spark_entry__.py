@@ -190,6 +190,8 @@ _VERIFICATION_PRIORITY = [
     "sql_not_in_null_trap_battery",
     "finance_net_dollar_retention",
     "stats_cusum_arl_calibration",
+    "ml_kfold_cv_accuracy",
+    "graph_personalized_pagerank",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

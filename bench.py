@@ -319,6 +319,8 @@ HEADLINE = [
     "sql_not_in_null_trap_battery",
     "finance_net_dollar_retention",
     "stats_cusum_arl_calibration",
+    "ml_kfold_cv_accuracy",
+    "graph_personalized_pagerank",
 ]
 
 
