@@ -192,6 +192,8 @@ _VERIFICATION_PRIORITY = [
     "stats_cusum_arl_calibration",
     "ml_kfold_cv_accuracy",
     "graph_personalized_pagerank",
+    "finance_arc_price_elasticity",
+    "geo_getis_ord_hotspots",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

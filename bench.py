@@ -321,6 +321,8 @@ HEADLINE = [
     "stats_cusum_arl_calibration",
     "ml_kfold_cv_accuracy",
     "graph_personalized_pagerank",
+    "finance_arc_price_elasticity",
+    "geo_getis_ord_hotspots",
 ]
 
 
