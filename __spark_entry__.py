@@ -194,6 +194,8 @@ _VERIFICATION_PRIORITY = [
     "graph_personalized_pagerank",
     "finance_arc_price_elasticity",
     "geo_getis_ord_hotspots",
+    "ml_brier_murphy_decomposition",
+    "slo_multiwindow_burn_alerts",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -323,6 +323,8 @@ HEADLINE = [
     "graph_personalized_pagerank",
     "finance_arc_price_elasticity",
     "geo_getis_ord_hotspots",
+    "ml_brier_murphy_decomposition",
+    "slo_multiwindow_burn_alerts",
 ]
 
 
