@@ -196,6 +196,8 @@ _VERIFICATION_PRIORITY = [
     "geo_getis_ord_hotspots",
     "ml_brier_murphy_decomposition",
     "slo_multiwindow_burn_alerts",
+    "search_rrf_rank_fusion",
+    "layout_sort_order_rle_bakeoff",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -325,6 +325,8 @@ HEADLINE = [
     "geo_getis_ord_hotspots",
     "ml_brier_murphy_decomposition",
     "slo_multiwindow_burn_alerts",
+    "search_rrf_rank_fusion",
+    "layout_sort_order_rle_bakeoff",
 ]
 
 
