@@ -198,6 +198,8 @@ _VERIFICATION_PRIORITY = [
     "slo_multiwindow_burn_alerts",
     "search_rrf_rank_fusion",
     "layout_sort_order_rle_bakeoff",
+    "dq_primary_key_violation_audit",
+    "sql_integer_division_semantics_battery",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -327,6 +327,8 @@ HEADLINE = [
     "slo_multiwindow_burn_alerts",
     "search_rrf_rank_fusion",
     "layout_sort_order_rle_bakeoff",
+    "dq_primary_key_violation_audit",
+    "sql_integer_division_semantics_battery",
 ]
 
 
