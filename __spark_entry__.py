@@ -200,6 +200,8 @@ _VERIFICATION_PRIORITY = [
     "layout_sort_order_rle_bakeoff",
     "dq_primary_key_violation_audit",
     "sql_integer_division_semantics_battery",
+    "approx_hdr_histogram_quantile_audit",
+    "search_rbo_rank_overlap",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

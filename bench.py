@@ -329,6 +329,8 @@ HEADLINE = [
     "layout_sort_order_rle_bakeoff",
     "dq_primary_key_violation_audit",
     "sql_integer_division_semantics_battery",
+    "approx_hdr_histogram_quantile_audit",
+    "search_rbo_rank_overlap",
 ]
 
 
