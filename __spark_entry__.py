@@ -202,6 +202,8 @@ _VERIFICATION_PRIORITY = [
     "sql_integer_division_semantics_battery",
     "approx_hdr_histogram_quantile_audit",
     "search_rbo_rank_overlap",
+    "experiment_mde_power_analysis",
+    "layout_codec_chooser",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -331,6 +331,8 @@ HEADLINE = [
     "sql_integer_division_semantics_battery",
     "approx_hdr_histogram_quantile_audit",
     "search_rbo_rank_overlap",
+    "experiment_mde_power_analysis",
+    "layout_codec_chooser",
 ]
 
 
