@@ -204,6 +204,8 @@ _VERIFICATION_PRIORITY = [
     "search_rbo_rank_overlap",
     "experiment_mde_power_analysis",
     "layout_codec_chooser",
+    "fairness_equalized_odds_audit",
+    "dedup_shard_strategy_audit",
     "events_autocorrelation_daily",
     "trend_mann_kendall_monthly",
     "join_salted_skew_equivalence",

@@ -333,6 +333,8 @@ HEADLINE = [
     "search_rbo_rank_overlap",
     "experiment_mde_power_analysis",
     "layout_codec_chooser",
+    "fairness_equalized_odds_audit",
+    "dedup_shard_strategy_audit",
 ]
 
 
