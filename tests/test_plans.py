@@ -468,3 +468,34 @@ def test_r5_wave107plus_shapes(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert plan.count("orders.parquet") <= 1, plan
+
+
+def test_r5_wave115plus_shapes(spark, sf_dir):
+    """Waves 115-141 pins: stateful replays ride mapInPandas, graph
+    and rank machinery stays cartesian-free, single-scan barriers
+    hold."""
+    # keyscan-backed replays: partition-wise MapInPandas, not
+    # per-group applyInPandas (FlatMapGroupsInPandas)
+    for q in (
+        "events_heavy_hitters_mg_replay",
+        "forecast_holt_linear_replay",
+        "stats_cusum_arl_calibration",
+    ):
+        plan = physical_plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "MapInPandas" in plan, (q, plan)
+        assert "FlatMapGroupsInPandas" not in plan, (q, plan)
+    # rank/graph machinery: equi joins only
+    for q in (
+        "stat_spearman_rank_correlation",
+        "graph_personalized_pagerank",
+        "search_rrf_rank_fusion",
+        "layout_delta_varint_economics",
+        "customer_value_tier_migration",
+    ):
+        plan = physical_plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (q, plan)
+    # RLE bakeoff: the fact table is scanned once behind the barrier
+    plan = physical_plan(
+        REGISTRY["layout_sort_order_rle_bakeoff"].fn(spark, sf_dir)
+    )
+    assert plan.count("lineitem.parquet") <= 1, plan
