@@ -335,6 +335,8 @@ HEADLINE = [
     "layout_codec_chooser",
     "fairness_equalized_odds_audit",
     "dedup_shard_strategy_audit",
+    "ml_cost_optimal_threshold",
+    "events_session_type_lift",
 ]
 
 
