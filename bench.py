@@ -337,6 +337,8 @@ HEADLINE = [
     "dedup_shard_strategy_audit",
     "ml_cost_optimal_threshold",
     "events_session_type_lift",
+    "survival_logrank_test",
+    "interval_allen_census",
 ]
 
 
