@@ -339,6 +339,8 @@ HEADLINE = [
     "events_session_type_lift",
     "survival_logrank_test",
     "interval_allen_census",
+    "alloc_apportionment_methods",
+    "graph_dag_critical_path",
 ]
 
 
