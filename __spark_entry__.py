@@ -134,6 +134,13 @@ _VERIFICATION_PRIORITY = [
     "emb_kmeans_lloyd_rounds",
     "text_bpe_merge_rounds",
     "multimodal_phash_dedup",
+    # --- waves 142-144 (added after the front-50 freeze) ---
+    "ml_cost_optimal_threshold",
+    "events_session_type_lift",
+    "survival_logrank_test",
+    "interval_allen_census",
+    "alloc_apportionment_methods",
+    "graph_dag_critical_path",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",
