@@ -341,6 +341,8 @@ HEADLINE = [
     "interval_allen_census",
     "alloc_apportionment_methods",
     "graph_dag_critical_path",
+    "attribution_markov_removal",
+    "layout_learned_index_epsilon",
 ]
 
 
