@@ -343,6 +343,8 @@ HEADLINE = [
     "graph_dag_critical_path",
     "attribution_markov_removal",
     "layout_learned_index_epsilon",
+    "cf_item_item_topk",
+    "ml_naive_bayes_exact_argmax",
 ]
 
 
