@@ -141,6 +141,12 @@ _VERIFICATION_PRIORITY = [
     "interval_allen_census",
     "alloc_apportionment_methods",
     "graph_dag_critical_path",
+    "attribution_markov_removal",
+    "layout_learned_index_epsilon",
+    "cf_item_item_topk",
+    "ml_naive_bayes_exact_argmax",
+    "data_shapley_knn_exact",
+    "rank_kendall_tau_nations",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -345,6 +345,8 @@ HEADLINE = [
     "layout_learned_index_epsilon",
     "cf_item_item_topk",
     "ml_naive_bayes_exact_argmax",
+    "data_shapley_knn_exact",
+    "rank_kendall_tau_nations",
 ]
 
 
