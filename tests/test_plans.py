@@ -499,3 +499,43 @@ def test_r5_wave115plus_shapes(spark, sf_dir):
         REGISTRY["layout_sort_order_rle_bakeoff"].fn(spark, sf_dir)
     )
     assert plan.count("lineitem.parquet") <= 1, plan
+
+
+def test_r5_wave142plus_shapes(spark, sf_dir):
+    """Waves 142-147 pins: pair machinery stays equi-join
+    co-partitioned, model tables broadcast, the Shapley corpus scan
+    is a broadcast nested loop (never a shuffle of the corpus)."""
+    # cartesian-free across the wave: every crossJoin is a broadcast
+    # 1-row/bounded side, every pair join is an equi join
+    for q in (
+        "ml_cost_optimal_threshold",
+        "events_session_type_lift",
+        "survival_logrank_test",
+        "interval_allen_census",
+        "alloc_apportionment_methods",
+        "graph_dag_critical_path",
+        "attribution_markov_removal",
+        "cf_item_item_topk",
+        "ml_naive_bayes_exact_argmax",
+        "rank_kendall_tau_nations",
+    ):
+        plan = physical_plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (q, plan)
+    # learned index: every join after the segment shuffle broadcasts
+    # (ext is 1 row, stats is the bounded 64-row spine)
+    plan = physical_plan(
+        REGISTRY["layout_learned_index_epsilon"].fn(spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # CF top-3: rank filter runs as WindowGroupLimit (map-side
+    # prefilter before the per-item window)
+    plan = physical_plan(REGISTRY["cf_item_item_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    # KNN-Shapley: the query panel broadcasts; the corpus is never
+    # shuffled for scoring
+    plan = physical_plan(
+        REGISTRY["data_shapley_knn_exact"].fn(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
