@@ -147,6 +147,8 @@ _VERIFICATION_PRIORITY = [
     "ml_naive_bayes_exact_argmax",
     "data_shapley_knn_exact",
     "rank_kendall_tau_nations",
+    "causal_diff_in_differences",
+    "linkage_phonetic_blocking",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

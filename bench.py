@@ -347,6 +347,8 @@ HEADLINE = [
     "ml_naive_bayes_exact_argmax",
     "data_shapley_knn_exact",
     "rank_kendall_tau_nations",
+    "causal_diff_in_differences",
+    "linkage_phonetic_blocking",
 ]
 
 
