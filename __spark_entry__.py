@@ -149,6 +149,8 @@ _VERIFICATION_PRIORITY = [
     "rank_kendall_tau_nations",
     "causal_diff_in_differences",
     "linkage_phonetic_blocking",
+    "match_stable_assignment",
+    "dq_luhn_check_digit_audit",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

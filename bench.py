@@ -349,6 +349,8 @@ HEADLINE = [
     "rank_kendall_tau_nations",
     "causal_diff_in_differences",
     "linkage_phonetic_blocking",
+    "match_stable_assignment",
+    "dq_luhn_check_digit_audit",
 ]
 
 
