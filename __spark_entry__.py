@@ -151,6 +151,8 @@ _VERIFICATION_PRIORITY = [
     "linkage_phonetic_blocking",
     "match_stable_assignment",
     "dq_luhn_check_digit_audit",
+    "sql_relational_division",
+    "time_iso_week_battery",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

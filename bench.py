@@ -351,6 +351,8 @@ HEADLINE = [
     "linkage_phonetic_blocking",
     "match_stable_assignment",
     "dq_luhn_check_digit_audit",
+    "sql_relational_division",
+    "time_iso_week_battery",
 ]
 
 
