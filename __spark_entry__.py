@@ -153,6 +153,8 @@ _VERIFICATION_PRIORITY = [
     "dq_luhn_check_digit_audit",
     "sql_relational_division",
     "time_iso_week_battery",
+    "dq_foreign_key_inference",
+    "causal_coarsened_exact_matching",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

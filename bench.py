@@ -353,6 +353,8 @@ HEADLINE = [
     "dq_luhn_check_digit_audit",
     "sql_relational_division",
     "time_iso_week_battery",
+    "dq_foreign_key_inference",
+    "causal_coarsened_exact_matching",
 ]
 
 
