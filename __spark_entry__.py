@@ -155,6 +155,8 @@ _VERIFICATION_PRIORITY = [
     "time_iso_week_battery",
     "dq_foreign_key_inference",
     "causal_coarsened_exact_matching",
+    "graph_functional_cycle_structure",
+    "regression_ols_exact",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

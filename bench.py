@@ -355,6 +355,8 @@ HEADLINE = [
     "time_iso_week_battery",
     "dq_foreign_key_inference",
     "causal_coarsened_exact_matching",
+    "graph_functional_cycle_structure",
+    "regression_ols_exact",
 ]
 
 
