@@ -157,6 +157,8 @@ _VERIFICATION_PRIORITY = [
     "causal_coarsened_exact_matching",
     "graph_functional_cycle_structure",
     "regression_ols_exact",
+    "search_prf_query_expansion",
+    "cf_recommendation_coverage",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

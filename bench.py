@@ -357,6 +357,8 @@ HEADLINE = [
     "causal_coarsened_exact_matching",
     "graph_functional_cycle_structure",
     "regression_ols_exact",
+    "search_prf_query_expansion",
+    "cf_recommendation_coverage",
 ]
 
 
