@@ -159,6 +159,8 @@ _VERIFICATION_PRIORITY = [
     "regression_ols_exact",
     "search_prf_query_expansion",
     "cf_recommendation_coverage",
+    "ops_littles_law_identity",
+    "stats_ipf_raking",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -359,6 +359,8 @@ HEADLINE = [
     "regression_ols_exact",
     "search_prf_query_expansion",
     "cf_recommendation_coverage",
+    "ops_littles_law_identity",
+    "stats_ipf_raking",
 ]
 
 
