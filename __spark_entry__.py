@@ -161,6 +161,8 @@ _VERIFICATION_PRIORITY = [
     "cf_recommendation_coverage",
     "ops_littles_law_identity",
     "stats_ipf_raking",
+    "process_trace_variants_conformance",
+    "queue_lindley_wait_replay",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

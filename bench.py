@@ -361,6 +361,8 @@ HEADLINE = [
     "cf_recommendation_coverage",
     "ops_littles_law_identity",
     "stats_ipf_raking",
+    "process_trace_variants_conformance",
+    "queue_lindley_wait_replay",
 ]
 
 
