@@ -539,3 +539,44 @@ def test_r5_wave142plus_shapes(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_r5_wave148plus_shapes(spark, sf_dir):
+    """Waves 148-155 pins: scan-side expression batteries stay
+    cartesian-free, the two-pass PRF shares one tokenization, the
+    Lindley replay never builds a global-window sort of fact rows."""
+    for q in (
+        "causal_diff_in_differences",
+        "linkage_phonetic_blocking",
+        "dq_luhn_check_digit_audit",
+        "sql_relational_division",
+        "time_iso_week_battery",
+        "dq_foreign_key_inference",
+        "causal_coarsened_exact_matching",
+        "regression_ols_exact",
+        "search_prf_query_expansion",
+        "cf_recommendation_coverage",
+        "ops_littles_law_identity",
+        "stats_ipf_raking",
+        "process_trace_variants_conformance",
+        "queue_lindley_wait_replay",
+    ):
+        plan = physical_plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (q, plan)
+    # Lindley replay: both running transforms are two-level — the only
+    # unpartitioned windows run over the bounded day spine (post-agg),
+    # never over order-grain rows. Pin: every Window with no
+    # partitioning sits above an aggregate, which the plan shows as
+    # no Sort of the raw arrival columns feeding a global Window.
+    plan = physical_plan(
+        REGISTRY["queue_lindley_wait_replay"].fn(spark, sf_dir)
+    )
+    # the fact-grain running transforms are partitioned by day...
+    assert plan.count("windowspecdefinition(day#") >= 2, plan
+    # ...and the carry tables join back as broadcasts, not shuffles
+    assert "BroadcastHashJoin" in plan, plan
+    # relational division: divisor broadcast into the fact semi-join
+    plan = physical_plan(
+        REGISTRY["sql_relational_division"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
