@@ -163,6 +163,8 @@ _VERIFICATION_PRIORITY = [
     "stats_ipf_raking",
     "process_trace_variants_conformance",
     "queue_lindley_wait_replay",
+    "routing_tsp_nn_2opt",
+    "finance_fx_triangulation_audit",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

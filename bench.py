@@ -363,6 +363,8 @@ HEADLINE = [
     "stats_ipf_raking",
     "process_trace_variants_conformance",
     "queue_lindley_wait_replay",
+    "routing_tsp_nn_2opt",
+    "finance_fx_triangulation_audit",
 ]
 
 
