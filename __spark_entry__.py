@@ -165,6 +165,8 @@ _VERIFICATION_PRIORITY = [
     "queue_lindley_wait_replay",
     "routing_tsp_nn_2opt",
     "finance_fx_triangulation_audit",
+    "election_irv_rounds",
+    "election_voting_rules_compared",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

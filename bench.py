@@ -365,6 +365,8 @@ HEADLINE = [
     "queue_lindley_wait_replay",
     "routing_tsp_nn_2opt",
     "finance_fx_triangulation_audit",
+    "election_irv_rounds",
+    "election_voting_rules_compared",
 ]
 
 
