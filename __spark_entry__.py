@@ -167,6 +167,7 @@ _VERIFICATION_PRIORITY = [
     "finance_fx_triangulation_audit",
     "election_irv_rounds",
     "election_voting_rules_compared",
+    "ml_capstone_nb_threshold_fairness",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

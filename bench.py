@@ -367,6 +367,7 @@ HEADLINE = [
     "finance_fx_triangulation_audit",
     "election_irv_rounds",
     "election_voting_rules_compared",
+    "ml_capstone_nb_threshold_fairness",
 ]
 
 
