@@ -168,6 +168,10 @@ _VERIFICATION_PRIORITY = [
     "election_irv_rounds",
     "election_voting_rules_compared",
     "ml_capstone_nb_threshold_fairness",
+    "layout_range_partition_balance",
+    "optimizer_independence_qerror",
+    "geo_closest_pair_pernation",
+    "changepoint_two_segment_sse",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -368,6 +368,10 @@ HEADLINE = [
     "election_irv_rounds",
     "election_voting_rules_compared",
     "ml_capstone_nb_threshold_fairness",
+    "layout_range_partition_balance",
+    "optimizer_independence_qerror",
+    "geo_closest_pair_pernation",
+    "changepoint_two_segment_sse",
 ]
 
 
