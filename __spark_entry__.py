@@ -172,6 +172,8 @@ _VERIFICATION_PRIORITY = [
     "optimizer_independence_qerror",
     "geo_closest_pair_pernation",
     "changepoint_two_segment_sse",
+    "inequality_gini_lorenz",
+    "text_kwic_concordance",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -372,6 +372,8 @@ HEADLINE = [
     "optimizer_independence_qerror",
     "geo_closest_pair_pernation",
     "changepoint_two_segment_sse",
+    "inequality_gini_lorenz",
+    "text_kwic_concordance",
 ]
 
 
