@@ -174,6 +174,8 @@ _VERIFICATION_PRIORITY = [
     "changepoint_two_segment_sse",
     "inequality_gini_lorenz",
     "text_kwic_concordance",
+    "graph_hits_bipartite_counts",
+    "sampling_neyman_sd_allocation",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

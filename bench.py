@@ -374,6 +374,8 @@ HEADLINE = [
     "changepoint_two_segment_sse",
     "inequality_gini_lorenz",
     "text_kwic_concordance",
+    "graph_hits_bipartite_counts",
+    "sampling_neyman_sd_allocation",
 ]
 
 
