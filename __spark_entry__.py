@@ -176,6 +176,8 @@ _VERIFICATION_PRIORITY = [
     "text_kwic_concordance",
     "graph_hits_bipartite_counts",
     "sampling_neyman_sd_allocation",
+    "seq_lis_per_customer",
+    "rank_wilson_lower_bound",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

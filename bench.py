@@ -376,6 +376,8 @@ HEADLINE = [
     "text_kwic_concordance",
     "graph_hits_bipartite_counts",
     "sampling_neyman_sd_allocation",
+    "seq_lis_per_customer",
+    "rank_wilson_lower_bound",
 ]
 
 
