@@ -178,6 +178,8 @@ _VERIFICATION_PRIORITY = [
     "sampling_neyman_sd_allocation",
     "seq_lis_per_customer",
     "rank_wilson_lower_bound",
+    "ml_adaboost_two_round_stumps",
+    "time_t2_settlement_battery",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -378,6 +378,8 @@ HEADLINE = [
     "sampling_neyman_sd_allocation",
     "seq_lis_per_customer",
     "rank_wilson_lower_bound",
+    "ml_adaboost_two_round_stumps",
+    "time_t2_settlement_battery",
 ]
 
 
