@@ -180,6 +180,8 @@ _VERIFICATION_PRIORITY = [
     "rank_wilson_lower_bound",
     "ml_adaboost_two_round_stumps",
     "time_t2_settlement_battery",
+    "approx_hll_register_audit",
+    "layout_compaction_coalesce_plan",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -380,6 +380,8 @@ HEADLINE = [
     "rank_wilson_lower_bound",
     "ml_adaboost_two_round_stumps",
     "time_t2_settlement_battery",
+    "approx_hll_register_audit",
+    "layout_compaction_coalesce_plan",
 ]
 
 
