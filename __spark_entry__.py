@@ -182,6 +182,8 @@ _VERIFICATION_PRIORITY = [
     "time_t2_settlement_battery",
     "approx_hll_register_audit",
     "layout_compaction_coalesce_plan",
+    "text_zipf_bigram_buckets",
+    "finance_vwap_divergence",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -382,6 +382,8 @@ HEADLINE = [
     "time_t2_settlement_battery",
     "approx_hll_register_audit",
     "layout_compaction_coalesce_plan",
+    "text_zipf_bigram_buckets",
+    "finance_vwap_divergence",
 ]
 
 
