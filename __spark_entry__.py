@@ -184,6 +184,8 @@ _VERIFICATION_PRIORITY = [
     "layout_compaction_coalesce_plan",
     "text_zipf_bigram_buckets",
     "finance_vwap_divergence",
+    "dq_constraint_mining_audit",
+    "stats_median_of_means",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -384,6 +384,8 @@ HEADLINE = [
     "layout_compaction_coalesce_plan",
     "text_zipf_bigram_buckets",
     "finance_vwap_divergence",
+    "dq_constraint_mining_audit",
+    "stats_median_of_means",
 ]
 
 
