@@ -186,6 +186,8 @@ _VERIFICATION_PRIORITY = [
     "finance_vwap_divergence",
     "dq_constraint_mining_audit",
     "stats_median_of_means",
+    "sql_null_ordering_battery",
+    "sec_impossible_travel_audit",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

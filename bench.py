@@ -386,6 +386,8 @@ HEADLINE = [
     "finance_vwap_divergence",
     "dq_constraint_mining_audit",
     "stats_median_of_means",
+    "sql_null_ordering_battery",
+    "sec_impossible_travel_audit",
 ]
 
 
