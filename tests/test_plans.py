@@ -580,3 +580,64 @@ def test_r5_wave148plus_shapes(spark, sf_dir):
         REGISTRY["sql_relational_division"].fn(spark, sf_dir)
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_r5_wave159plus_shapes(spark, sf_dir):
+    """Waves 159-168 pins: the new audits stay cartesian-free, the
+    closest-pair grid join is an equi-join (never a nested loop over
+    points), the boosting rounds broadcast their scalar state, and
+    the Wilson/VWAP brand dims broadcast."""
+    for q in (
+        "layout_range_partition_balance",
+        "optimizer_independence_qerror",
+        "geo_closest_pair_pernation",
+        "inequality_gini_lorenz",
+        "text_kwic_concordance",
+        "graph_hits_bipartite_counts",
+        "sampling_neyman_sd_allocation",
+        "seq_lis_per_customer",
+        "rank_wilson_lower_bound",
+        "time_t2_settlement_battery",
+        "approx_hll_register_audit",
+        "layout_compaction_coalesce_plan",
+        "text_zipf_bigram_buckets",
+        "finance_vwap_divergence",
+        "dq_constraint_mining_audit",
+        "stats_median_of_means",
+        "sql_null_ordering_battery",
+        "sec_impossible_travel_audit",
+    ):
+        plan = physical_plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (q, plan)
+    # closest pair: the candidate enumeration is a hash equi-join on
+    # (nation, cell), not a nested-loop over point pairs
+    plan = physical_plan(
+        REGISTRY["geo_closest_pair_pernation"].fn(spark, sf_dir)
+    )
+    assert (
+        "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+    # changepoint: the rational dominance argmax broadcasts the
+    # bounded score table (left_anti against a broadcast rival side)
+    plan = physical_plan(
+        REGISTRY["changepoint_two_segment_sse"].fn(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # adaboost: each boosting round re-applies the chosen stump via a
+    # broadcast scalar, never a shuffle of the fact rows against state
+    plan = physical_plan(
+        REGISTRY["ml_adaboost_two_round_stumps"].fn(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # wilson ranking: the part dim broadcasts into the fact join
+    plan = physical_plan(
+        REGISTRY["rank_wilson_lower_bound"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # KWIC: per-term top-k prefilters map-side
+    plan = physical_plan(
+        REGISTRY["text_kwic_concordance"].fn(spark, sf_dir)
+    )
+    assert "WindowGroupLimit" in plan, plan
