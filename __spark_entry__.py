@@ -188,6 +188,8 @@ _VERIFICATION_PRIORITY = [
     "stats_median_of_means",
     "sql_null_ordering_battery",
     "sec_impossible_travel_audit",
+    "scd_aswas_vs_asis_revenue",
+    "events_dau_mau_stickiness",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

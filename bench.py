@@ -388,6 +388,8 @@ HEADLINE = [
     "stats_median_of_means",
     "sql_null_ordering_battery",
     "sec_impossible_travel_audit",
+    "scd_aswas_vs_asis_revenue",
+    "events_dau_mau_stickiness",
 ]
 
 
