@@ -190,6 +190,8 @@ _VERIFICATION_PRIORITY = [
     "sec_impossible_travel_audit",
     "scd_aswas_vs_asis_revenue",
     "events_dau_mau_stickiness",
+    "lakehouse_snapshot_diff_audit",
+    "emb_int8_quantization_error",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -390,6 +390,8 @@ HEADLINE = [
     "sec_impossible_travel_audit",
     "scd_aswas_vs_asis_revenue",
     "events_dau_mau_stickiness",
+    "lakehouse_snapshot_diff_audit",
+    "emb_int8_quantization_error",
 ]
 
 
