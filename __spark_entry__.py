@@ -192,6 +192,8 @@ _VERIFICATION_PRIORITY = [
     "events_dau_mau_stickiness",
     "lakehouse_snapshot_diff_audit",
     "emb_int8_quantization_error",
+    "finance_price_volume_bridge",
+    "search_phrase_positional_index",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

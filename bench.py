@@ -392,6 +392,8 @@ HEADLINE = [
     "events_dau_mau_stickiness",
     "lakehouse_snapshot_diff_audit",
     "emb_int8_quantization_error",
+    "finance_price_volume_bridge",
+    "search_phrase_positional_index",
 ]
 
 
