@@ -194,6 +194,8 @@ _VERIFICATION_PRIORITY = [
     "emb_int8_quantization_error",
     "finance_price_volume_bridge",
     "search_phrase_positional_index",
+    "storage_delta_of_delta_gorilla",
+    "ops_otif_fill_rate",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -394,6 +394,8 @@ HEADLINE = [
     "emb_int8_quantization_error",
     "finance_price_volume_bridge",
     "search_phrase_positional_index",
+    "storage_delta_of_delta_gorilla",
+    "ops_otif_fill_rate",
 ]
 
 
