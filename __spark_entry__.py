@@ -196,6 +196,8 @@ _VERIFICATION_PRIORITY = [
     "search_phrase_positional_index",
     "storage_delta_of_delta_gorilla",
     "ops_otif_fill_rate",
+    "causal_rdd_quantity_cutoff",
+    "time_fiscal_445_calendar",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -396,6 +396,8 @@ HEADLINE = [
     "search_phrase_positional_index",
     "storage_delta_of_delta_gorilla",
     "ops_otif_fill_rate",
+    "causal_rdd_quantity_cutoff",
+    "time_fiscal_445_calendar",
 ]
 
 
