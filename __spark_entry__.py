@@ -198,6 +198,10 @@ _VERIFICATION_PRIORITY = [
     "ops_otif_fill_rate",
     "causal_rdd_quantity_cutoff",
     "time_fiscal_445_calendar",
+    "graph_two_hop_reach_panel",
+    "finance_rounding_mode_battery",
+    "sampling_systematic_vs_hash",
+    "events_markov_homogeneity",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -398,6 +398,10 @@ HEADLINE = [
     "ops_otif_fill_rate",
     "causal_rdd_quantity_cutoff",
     "time_fiscal_445_calendar",
+    "graph_two_hop_reach_panel",
+    "finance_rounding_mode_battery",
+    "sampling_systematic_vs_hash",
+    "events_markov_homogeneity",
 ]
 
 
