@@ -202,6 +202,8 @@ _VERIFICATION_PRIORITY = [
     "finance_rounding_mode_battery",
     "sampling_systematic_vs_hash",
     "events_markov_homogeneity",
+    "sql_decorrelation_equivalence",
+    "emb_fisher_label_separation",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -402,6 +402,8 @@ HEADLINE = [
     "finance_rounding_mode_battery",
     "sampling_systematic_vs_hash",
     "events_markov_homogeneity",
+    "sql_decorrelation_equivalence",
+    "emb_fisher_label_separation",
 ]
 
 
