@@ -204,6 +204,8 @@ _VERIFICATION_PRIORITY = [
     "events_markov_homogeneity",
     "sql_decorrelation_equivalence",
     "emb_fisher_label_separation",
+    "audit_event_hash_chain",
+    "ml_nb_learning_curve",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

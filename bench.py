@@ -404,6 +404,8 @@ HEADLINE = [
     "events_markov_homogeneity",
     "sql_decorrelation_equivalence",
     "emb_fisher_label_separation",
+    "audit_event_hash_chain",
+    "ml_nb_learning_curve",
 ]
 
 
