@@ -206,6 +206,8 @@ _VERIFICATION_PRIORITY = [
     "emb_fisher_label_separation",
     "audit_event_hash_chain",
     "ml_nb_learning_curve",
+    "audit_duplicate_payment_detector",
+    "privacy_generalization_ladder",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -406,6 +406,8 @@ HEADLINE = [
     "emb_fisher_label_separation",
     "audit_event_hash_chain",
     "ml_nb_learning_curve",
+    "audit_duplicate_payment_detector",
+    "privacy_generalization_ladder",
 ]
 
 
