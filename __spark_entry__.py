@@ -208,6 +208,8 @@ _VERIFICATION_PRIORITY = [
     "ml_nb_learning_curve",
     "audit_duplicate_payment_detector",
     "privacy_generalization_ladder",
+    "sql_range_vs_rows_frames",
+    "mdm_survivorship_policy_battery",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -408,6 +408,8 @@ HEADLINE = [
     "ml_nb_learning_curve",
     "audit_duplicate_payment_detector",
     "privacy_generalization_ladder",
+    "sql_range_vs_rows_frames",
+    "mdm_survivorship_policy_battery",
 ]
 
 
