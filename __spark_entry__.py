@@ -210,6 +210,8 @@ _VERIFICATION_PRIORITY = [
     "privacy_generalization_ladder",
     "sql_range_vs_rows_frames",
     "mdm_survivorship_policy_battery",
+    "ops_backoff_conformance_audit",
+    "stats_effective_sample_size",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

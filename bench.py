@@ -410,6 +410,8 @@ HEADLINE = [
     "privacy_generalization_ladder",
     "sql_range_vs_rows_frames",
     "mdm_survivorship_policy_battery",
+    "ops_backoff_conformance_audit",
+    "stats_effective_sample_size",
 ]
 
 
