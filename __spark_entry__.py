@@ -212,6 +212,7 @@ _VERIFICATION_PRIORITY = [
     "mdm_survivorship_policy_battery",
     "ops_backoff_conformance_audit",
     "stats_effective_sample_size",
+    "inventory_intermittency_quadrants",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

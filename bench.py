@@ -412,6 +412,7 @@ HEADLINE = [
     "mdm_survivorship_policy_battery",
     "ops_backoff_conformance_audit",
     "stats_effective_sample_size",
+    "inventory_intermittency_quadrants",
 ]
 
 
