@@ -213,6 +213,8 @@ _VERIFICATION_PRIORITY = [
     "ops_backoff_conformance_audit",
     "stats_effective_sample_size",
     "inventory_intermittency_quadrants",
+    "graph_friendship_paradox",
+    "sql_null_semantics_battery",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -413,6 +413,8 @@ HEADLINE = [
     "ops_backoff_conformance_audit",
     "stats_effective_sample_size",
     "inventory_intermittency_quadrants",
+    "graph_friendship_paradox",
+    "sql_null_semantics_battery",
 ]
 
 
