@@ -215,6 +215,8 @@ _VERIFICATION_PRIORITY = [
     "inventory_intermittency_quadrants",
     "graph_friendship_paradox",
     "sql_null_semantics_battery",
+    "election_kemeny_rank_4",
+    "opt_knapsack_density_gap",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -415,6 +415,8 @@ HEADLINE = [
     "inventory_intermittency_quadrants",
     "graph_friendship_paradox",
     "sql_null_semantics_battery",
+    "election_kemeny_rank_4",
+    "opt_knapsack_density_gap",
 ]
 
 
