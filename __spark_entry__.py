@@ -217,6 +217,8 @@ _VERIFICATION_PRIORITY = [
     "sql_null_semantics_battery",
     "election_kemeny_rank_4",
     "opt_knapsack_density_gap",
+    "risk_cvar_tail_concentration",
+    "graph_rich_club_permille",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

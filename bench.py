@@ -417,6 +417,8 @@ HEADLINE = [
     "sql_null_semantics_battery",
     "election_kemeny_rank_4",
     "opt_knapsack_density_gap",
+    "risk_cvar_tail_concentration",
+    "graph_rich_club_permille",
 ]
 
 
