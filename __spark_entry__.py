@@ -219,6 +219,8 @@ _VERIFICATION_PRIORITY = [
     "opt_knapsack_density_gap",
     "risk_cvar_tail_concentration",
     "graph_rich_club_permille",
+    "optimizer_predicate_order_cost",
+    "inequality_hoover_index",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

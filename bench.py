@@ -419,6 +419,8 @@ HEADLINE = [
     "opt_knapsack_density_gap",
     "risk_cvar_tail_concentration",
     "graph_rich_club_permille",
+    "optimizer_predicate_order_cost",
+    "inequality_hoover_index",
 ]
 
 
