@@ -221,6 +221,8 @@ _VERIFICATION_PRIORITY = [
     "graph_rich_club_permille",
     "optimizer_predicate_order_cost",
     "inequality_hoover_index",
+    "privacy_fpe_mask_audit",
+    "audit_tv_distance_drift",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

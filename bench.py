@@ -421,6 +421,8 @@ HEADLINE = [
     "graph_rich_club_permille",
     "optimizer_predicate_order_cost",
     "inequality_hoover_index",
+    "privacy_fpe_mask_audit",
+    "audit_tv_distance_drift",
 ]
 
 
