@@ -223,6 +223,8 @@ _VERIFICATION_PRIORITY = [
     "inequality_hoover_index",
     "privacy_fpe_mask_audit",
     "audit_tv_distance_drift",
+    "text_good_turing_mass",
+    "finance_npv_irr_rate_grid",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -423,6 +423,8 @@ HEADLINE = [
     "inequality_hoover_index",
     "privacy_fpe_mask_audit",
     "audit_tv_distance_drift",
+    "text_good_turing_mass",
+    "finance_npv_irr_rate_grid",
 ]
 
 
