@@ -225,6 +225,7 @@ _VERIFICATION_PRIORITY = [
     "audit_tv_distance_drift",
     "text_good_turing_mass",
     "finance_npv_irr_rate_grid",
+    "sched_smith_rule_wspt",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

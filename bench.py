@@ -425,6 +425,7 @@ HEADLINE = [
     "audit_tv_distance_drift",
     "text_good_turing_mass",
     "finance_npv_irr_rate_grid",
+    "sched_smith_rule_wspt",
 ]
 
 
