@@ -226,6 +226,8 @@ _VERIFICATION_PRIORITY = [
     "text_good_turing_mass",
     "finance_npv_irr_rate_grid",
     "sched_smith_rule_wspt",
+    "dedup_shingle_size_sensitivity",
+    "emb_triangle_inequality_audit",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -426,6 +426,8 @@ HEADLINE = [
     "text_good_turing_mass",
     "finance_npv_irr_rate_grid",
     "sched_smith_rule_wspt",
+    "dedup_shingle_size_sensitivity",
+    "emb_triangle_inequality_audit",
 ]
 
 
