@@ -641,3 +641,41 @@ def test_r5_wave159plus_shapes(spark, sf_dir):
         REGISTRY["text_kwic_concordance"].fn(spark, sf_dir)
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_r5_wave184plus_shapes(spark, sf_dir):
+    """Waves 184-189 pins: cartesian-free, the CVaR tail join and the
+    Wilson/VWAP-style dims broadcast, the NPV discount table
+    broadcasts, and Smith's-rule lanes never globally sort job rows
+    (running totals are two-level)."""
+    for q in (
+        "risk_cvar_tail_concentration",
+        "graph_rich_club_permille",
+        "optimizer_predicate_order_cost",
+        "inequality_hoover_index",
+        "privacy_fpe_mask_audit",
+        "audit_tv_distance_drift",
+        "text_good_turing_mass",
+        "finance_npv_irr_rate_grid",
+        "sched_smith_rule_wspt",
+        "dedup_shingle_size_sensitivity",
+        "emb_triangle_inequality_audit",
+    ):
+        plan = physical_plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (q, plan)
+    # NPV: the exact discount table joins as a broadcast
+    plan = physical_plan(
+        REGISTRY["finance_npv_irr_rate_grid"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # rich club: the 50-node club broadcasts into both hop joins
+    plan = physical_plan(
+        REGISTRY["graph_rich_club_permille"].fn(spark, sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # Smith's rule: job-grain fact rows feed partitioned windows only
+    # (the two-level operator) — no unpartitioned Sort of all jobs
+    plan = physical_plan(
+        REGISTRY["sched_smith_rule_wspt"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition" in plan, plan
