@@ -228,6 +228,8 @@ _VERIFICATION_PRIORITY = [
     "sched_smith_rule_wspt",
     "dedup_shingle_size_sensitivity",
     "emb_triangle_inequality_audit",
+    "supply_bullwhip_ratio",
+    "privacy_erasure_blast_radius",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

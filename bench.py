@@ -428,6 +428,8 @@ HEADLINE = [
     "sched_smith_rule_wspt",
     "dedup_shingle_size_sensitivity",
     "emb_triangle_inequality_audit",
+    "supply_bullwhip_ratio",
+    "privacy_erasure_blast_radius",
 ]
 
 
