@@ -230,6 +230,8 @@ _VERIFICATION_PRIORITY = [
     "emb_triangle_inequality_audit",
     "supply_bullwhip_ratio",
     "privacy_erasure_blast_radius",
+    "stats_grain_fallacy_audit",
+    "sql_window_frame_default_trap",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -430,6 +430,8 @@ HEADLINE = [
     "emb_triangle_inequality_audit",
     "supply_bullwhip_ratio",
     "privacy_erasure_blast_radius",
+    "stats_grain_fallacy_audit",
+    "sql_window_frame_default_trap",
 ]
 
 
