@@ -232,6 +232,8 @@ _VERIFICATION_PRIORITY = [
     "privacy_erasure_blast_radius",
     "stats_grain_fallacy_audit",
     "sql_window_frame_default_trap",
+    "finance_stepdown_allocation",
+    "experiment_icc_design_effect",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -432,6 +432,8 @@ HEADLINE = [
     "privacy_erasure_blast_radius",
     "stats_grain_fallacy_audit",
     "sql_window_frame_default_trap",
+    "finance_stepdown_allocation",
+    "experiment_icc_design_effect",
 ]
 
 
