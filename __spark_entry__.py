@@ -234,6 +234,8 @@ _VERIFICATION_PRIORITY = [
     "sql_window_frame_default_trap",
     "finance_stepdown_allocation",
     "experiment_icc_design_effect",
+    "inventory_demand_quantiles_counting",
+    "sql_explode_outer_battery",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -434,6 +434,8 @@ HEADLINE = [
     "sql_window_frame_default_trap",
     "finance_stepdown_allocation",
     "experiment_icc_design_effect",
+    "inventory_demand_quantiles_counting",
+    "sql_explode_outer_battery",
 ]
 
 
