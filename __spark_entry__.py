@@ -236,6 +236,8 @@ _VERIFICATION_PRIORITY = [
     "experiment_icc_design_effect",
     "inventory_demand_quantiles_counting",
     "sql_explode_outer_battery",
+    "graph_triangle_sample_estimator",
+    "dq_semantic_type_inference",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

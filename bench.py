@@ -436,6 +436,8 @@ HEADLINE = [
     "experiment_icc_design_effect",
     "inventory_demand_quantiles_counting",
     "sql_explode_outer_battery",
+    "graph_triangle_sample_estimator",
+    "dq_semantic_type_inference",
 ]
 
 
