@@ -238,6 +238,7 @@ _VERIFICATION_PRIORITY = [
     "sql_explode_outer_battery",
     "graph_triangle_sample_estimator",
     "dq_semantic_type_inference",
+    "inventory_leadtime_demand_convolution",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

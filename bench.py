@@ -438,6 +438,7 @@ HEADLINE = [
     "sql_explode_outer_battery",
     "graph_triangle_sample_estimator",
     "dq_semantic_type_inference",
+    "inventory_leadtime_demand_convolution",
 ]
 
 
