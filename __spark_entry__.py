@@ -239,6 +239,7 @@ _VERIFICATION_PRIORITY = [
     "graph_triangle_sample_estimator",
     "dq_semantic_type_inference",
     "inventory_leadtime_demand_convolution",
+    "finance_max_drawdown_underwater",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -439,6 +439,7 @@ HEADLINE = [
     "graph_triangle_sample_estimator",
     "dq_semantic_type_inference",
     "inventory_leadtime_demand_convolution",
+    "finance_max_drawdown_underwater",
 ]
 
 
