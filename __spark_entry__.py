@@ -240,6 +240,8 @@ _VERIFICATION_PRIORITY = [
     "dq_semantic_type_inference",
     "inventory_leadtime_demand_convolution",
     "finance_max_drawdown_underwater",
+    "stats_median_ci_orderstat",
+    "ops_incident_cooccurrence_lift",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

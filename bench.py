@@ -440,6 +440,8 @@ HEADLINE = [
     "dq_semantic_type_inference",
     "inventory_leadtime_demand_convolution",
     "finance_max_drawdown_underwater",
+    "stats_median_ci_orderstat",
+    "ops_incident_cooccurrence_lift",
 ]
 
 
