@@ -242,6 +242,7 @@ _VERIFICATION_PRIORITY = [
     "finance_max_drawdown_underwater",
     "stats_median_ci_orderstat",
     "ops_incident_cooccurrence_lift",
+    "time_add_months_eom_battery",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

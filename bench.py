@@ -442,6 +442,7 @@ HEADLINE = [
     "finance_max_drawdown_underwater",
     "stats_median_ci_orderstat",
     "ops_incident_cooccurrence_lift",
+    "time_add_months_eom_battery",
 ]
 
 
