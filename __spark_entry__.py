@@ -243,6 +243,8 @@ _VERIFICATION_PRIORITY = [
     "stats_median_ci_orderstat",
     "ops_incident_cooccurrence_lift",
     "time_add_months_eom_battery",
+    "dq_correlation_matrix",
+    "brand_rank_momentum",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -443,6 +443,8 @@ HEADLINE = [
     "stats_median_ci_orderstat",
     "ops_incident_cooccurrence_lift",
     "time_add_months_eom_battery",
+    "dq_correlation_matrix",
+    "brand_rank_momentum",
 ]
 
 
