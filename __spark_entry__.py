@@ -245,6 +245,7 @@ _VERIFICATION_PRIORITY = [
     "time_add_months_eom_battery",
     "dq_correlation_matrix",
     "brand_rank_momentum",
+    "pipeline_release_scorecard_capstone",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

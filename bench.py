@@ -445,6 +445,7 @@ HEADLINE = [
     "time_add_months_eom_battery",
     "dq_correlation_matrix",
     "brand_rank_momentum",
+    "pipeline_release_scorecard_capstone",
 ]
 
 
