@@ -246,6 +246,8 @@ _VERIFICATION_PRIORITY = [
     "dq_correlation_matrix",
     "brand_rank_momentum",
     "pipeline_release_scorecard_capstone",
+    "risk_block_maxima_return_level",
+    "hash_truncation_collision_audit",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

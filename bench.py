@@ -446,6 +446,8 @@ HEADLINE = [
     "dq_correlation_matrix",
     "brand_rank_momentum",
     "pipeline_release_scorecard_capstone",
+    "risk_block_maxima_return_level",
+    "hash_truncation_collision_audit",
 ]
 
 
