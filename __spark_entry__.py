@@ -248,6 +248,8 @@ _VERIFICATION_PRIORITY = [
     "pipeline_release_scorecard_capstone",
     "risk_block_maxima_return_level",
     "hash_truncation_collision_audit",
+    "sql_full_outer_rewrite_equivalence",
+    "dq_ingestion_gap_detector",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

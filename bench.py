@@ -448,6 +448,8 @@ HEADLINE = [
     "pipeline_release_scorecard_capstone",
     "risk_block_maxima_return_level",
     "hash_truncation_collision_audit",
+    "sql_full_outer_rewrite_equivalence",
+    "dq_ingestion_gap_detector",
 ]
 
 
