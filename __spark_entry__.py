@@ -250,6 +250,8 @@ _VERIFICATION_PRIORITY = [
     "hash_truncation_collision_audit",
     "sql_full_outer_rewrite_equivalence",
     "dq_ingestion_gap_detector",
+    "ml_leakage_detector_audit",
+    "sales_quarter_hockey_stick",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -450,6 +450,8 @@ HEADLINE = [
     "hash_truncation_collision_audit",
     "sql_full_outer_rewrite_equivalence",
     "dq_ingestion_gap_detector",
+    "ml_leakage_detector_audit",
+    "sales_quarter_hockey_stick",
 ]
 
 
