@@ -252,6 +252,8 @@ _VERIFICATION_PRIORITY = [
     "dq_ingestion_gap_detector",
     "ml_leakage_detector_audit",
     "sales_quarter_hockey_stick",
+    "ops_sla_credit_calculation",
+    "supplier_composite_scorecard",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -452,6 +452,8 @@ HEADLINE = [
     "dq_ingestion_gap_detector",
     "ml_leakage_detector_audit",
     "sales_quarter_hockey_stick",
+    "ops_sla_credit_calculation",
+    "supplier_composite_scorecard",
 ]
 
 
