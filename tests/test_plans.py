@@ -679,3 +679,51 @@ def test_r5_wave184plus_shapes(spark, sf_dir):
         REGISTRY["sched_smith_rule_wspt"].fn(spark, sf_dir)
     )
     assert "windowspecdefinition" in plan, plan
+
+
+def test_r5_wave190plus_shapes(spark, sf_dir):
+    """Waves 190-204 pins: cartesian-free throughout; the erasure
+    panel and SLA month joins broadcast; the convolution joins are
+    panel-keyed equi-joins; the full-outer rewrite's anti join is a
+    real anti join."""
+    for q in (
+        "supply_bullwhip_ratio",
+        "privacy_erasure_blast_radius",
+        "stats_grain_fallacy_audit",
+        "sql_window_frame_default_trap",
+        "finance_stepdown_allocation",
+        "experiment_icc_design_effect",
+        "inventory_demand_quantiles_counting",
+        "sql_explode_outer_battery",
+        "graph_triangle_sample_estimator",
+        "dq_semantic_type_inference",
+        "inventory_leadtime_demand_convolution",
+        "finance_max_drawdown_underwater",
+        "stats_median_ci_orderstat",
+        "ops_incident_cooccurrence_lift",
+        "time_add_months_eom_battery",
+        "dq_correlation_matrix",
+        "brand_rank_momentum",
+        "pipeline_release_scorecard_capstone",
+        "risk_block_maxima_return_level",
+        "hash_truncation_collision_audit",
+        "sql_full_outer_rewrite_equivalence",
+        "dq_ingestion_gap_detector",
+        "ml_leakage_detector_audit",
+        "sales_quarter_hockey_stick",
+        "ops_sla_credit_calculation",
+        "supplier_composite_scorecard",
+    ):
+        plan = physical_plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (q, plan)
+    # erasure blast radius: the 200-key panel broadcasts into orders
+    plan = physical_plan(
+        REGISTRY["privacy_erasure_blast_radius"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # full-outer rewrite: the manual path contains a real anti join
+    plan = physical_plan(
+        REGISTRY["sql_full_outer_rewrite_equivalence"].fn(spark, sf_dir)
+    )
+    assert "LeftAnti" in plan, plan
+    assert "FullOuter" in plan, plan
