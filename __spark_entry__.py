@@ -254,6 +254,8 @@ _VERIFICATION_PRIORITY = [
     "sales_quarter_hockey_stick",
     "ops_sla_credit_calculation",
     "supplier_composite_scorecard",
+    "stats_cramer_von_mises_exact",
+    "causal_quantile_treatment_effect",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -454,6 +454,8 @@ HEADLINE = [
     "sales_quarter_hockey_stick",
     "ops_sla_credit_calculation",
     "supplier_composite_scorecard",
+    "stats_cramer_von_mises_exact",
+    "causal_quantile_treatment_effect",
 ]
 
 
