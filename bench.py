@@ -456,6 +456,7 @@ HEADLINE = [
     "supplier_composite_scorecard",
     "stats_cramer_von_mises_exact",
     "causal_quantile_treatment_effect",
+    "anomaly_mahalanobis_diag_topk",
 ]
 
 
