@@ -457,6 +457,7 @@ HEADLINE = [
     "stats_cramer_von_mises_exact",
     "causal_quantile_treatment_effect",
     "anomaly_mahalanobis_diag_topk",
+    "graph_health_card",
 ]
 
 
