@@ -116,9 +116,11 @@ def anomaly_mahalanobis_diag_topk(
     )
     w = Window.orderBy(F.col("score_ppm").desc(), F.col("k"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= _MAH_TOPK)
-        .selectExpr("rnk", "k AS orderkey", "score_ppm")
+        scored.withColumn("rnk0", F.row_number().over(w))
+        .where(F.col("rnk0") <= _MAH_TOPK)
+        .selectExpr(
+            "CAST(rnk0 AS BIGINT) AS rnk", "k AS orderkey", "score_ppm"
+        )
         .orderBy("rnk")
     )
 

@@ -727,3 +727,31 @@ def test_r5_wave190plus_shapes(spark, sf_dir):
     )
     assert "LeftAnti" in plan, plan
     assert "FullOuter" in plan, plan
+
+
+def test_r5_wave205plus_shapes(spark, sf_dir):
+    """Waves 205-207 pins: cartesian-free; the CvM decomposition is
+    two-level (no global sort of value-grain rows); the Mahalanobis
+    scoring pass broadcasts the moment row and its top-k prefilters."""
+    for q in (
+        "stats_cramer_von_mises_exact",
+        "causal_quantile_treatment_effect",
+        "anomaly_mahalanobis_diag_topk",
+        "graph_health_card",
+    ):
+        plan = physical_plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (q, plan)
+    plan = physical_plan(
+        REGISTRY["anomaly_mahalanobis_diag_topk"].fn(spark, sf_dir)
+    )
+    # global top-k: either the WindowGroupLimit prefilter or the even
+    # stronger TakeOrderedAndProject pushdown must appear
+    assert (
+        "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # CvM: the value-grain running totals are partitioned by band
+    plan = physical_plan(
+        REGISTRY["stats_cramer_von_mises_exact"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition(band#" in plan, plan
