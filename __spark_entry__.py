@@ -258,6 +258,7 @@ _VERIFICATION_PRIORITY = [
     "causal_quantile_treatment_effect",
     "anomaly_mahalanobis_diag_topk",
     "graph_health_card",
+    "finance_order_total_reconciliation",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -458,6 +458,7 @@ HEADLINE = [
     "causal_quantile_treatment_effect",
     "anomaly_mahalanobis_diag_topk",
     "graph_health_card",
+    "finance_order_total_reconciliation",
 ]
 
 
