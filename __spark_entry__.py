@@ -259,6 +259,8 @@ _VERIFICATION_PRIORITY = [
     "anomaly_mahalanobis_diag_topk",
     "graph_health_card",
     "finance_order_total_reconciliation",
+    "inventory_dead_stock_audit",
+    "assortment_coverage_gaps",
     # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
     "privacy_k_anonymity_audit",
     "approx_cms_count_estimates",

@@ -459,6 +459,8 @@ HEADLINE = [
     "anomaly_mahalanobis_diag_topk",
     "graph_health_card",
     "finance_order_total_reconciliation",
+    "inventory_dead_stock_audit",
+    "assortment_coverage_gaps",
 ]
 
 
