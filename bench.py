@@ -496,13 +496,27 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_WARMUP=0 reverts to cold timings.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Wall-clock budget guard: with 400+ headline queries the full
+    # warmup + min-of-2 protocol is ~3 executions per query and can
+    # exceed an external harness timeout. Past half the budget the
+    # remaining queries run ONCE with no warmup (still a time the plan
+    # actually achieved, just cold); the count of such single-run tail
+    # queries is reported so the degradation is visible, never silent.
+    budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "600")
+    )
+    bench_t0 = time.perf_counter()
+    single_run_tail = 0
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        if warmup:
+        fast = (time.perf_counter() - bench_t0) > budget * 0.5
+        if fast:
+            single_run_tail += 1
+        if warmup and not fast:
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = None
-        for _ in range(runs):
+        for _ in range(1 if fast else runs):
             t0 = time.perf_counter()
             df = spec.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -543,6 +557,7 @@ def main() -> None:
         "queries": top10,
         "sf": sf_val,
         "n_queries": len(timings),
+        "single_run_tail": single_run_tail,
         "detail": "BENCH_DETAIL.json",
     }
     sys.stdout.flush()
