@@ -22,6 +22,17 @@ At 100 TB the shape is unchanged: one shuffle on the key, per-key
 sequential work (the information-theoretic minimum for order-sensitive
 recurrences), parallel across partitions; per-batch memory stays at
 Arrow batch size + one group.
+
+SKEW LIMITATION: the "one group" term is unbounded — the trailing
+key's rows accumulate in ``carry`` across Arrow batches, so a single
+dominant key materializes its ENTIRE group in one Python worker. That
+is inherent to order-sensitive per-key recurrences (the whole group
+must be seen in order), but it means the memory bound degrades from
+"batch + typical group" to "batch + largest group". ``carry_limit``
+makes that failure LOUD: past the threshold the scan raises with the
+offending key instead of silently OOM-ing the worker. Callers with a
+known-heavy key should pre-aggregate, split the recurrence, or raise
+the limit deliberately.
 """
 
 from __future__ import annotations
@@ -39,6 +50,7 @@ def keyed_pandas_scan(
     order: list[str],
     per_group: Callable[[pd.DataFrame], pd.DataFrame],
     out_schema: str,
+    carry_limit: int = 5_000_000,
 ) -> DataFrame:
     """Run ``per_group`` over each key's rows (pre-sorted by ``order``)
     with one Python call per Arrow batch instead of one per group.
@@ -46,6 +58,11 @@ def keyed_pandas_scan(
     ``per_group`` must be a self-contained closure (pandas/stdlib only
     — it ships to executors by value) receiving one key's rows in
     ``order`` and returning its output rows.
+
+    ``carry_limit`` bounds the cross-batch carry (the trailing key's
+    accumulated rows): a pathologically skewed key fails loudly with
+    its key value instead of OOM-ing the Python worker (see module
+    docstring, SKEW LIMITATION).
     """
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -59,6 +76,13 @@ def keyed_pandas_scan(
             last = pdf[key].iloc[-1]
             tail = pdf[key] == last
             carry = pdf[tail]
+            if len(carry) > carry_limit:
+                raise ValueError(
+                    f"keyed_pandas_scan: key {last!r} exceeds "
+                    f"carry_limit={carry_limit} rows in one group — "
+                    "skewed key would materialize in a single worker; "
+                    "pre-aggregate or raise carry_limit deliberately"
+                )
             done = pdf[~tail]
             if len(done):
                 yield pd.concat(

@@ -341,6 +341,13 @@ def extract_features(
             elif payload[:2] == b"BM":
                 off = _struct.unpack_from("<I", payload, 10)[0]
                 w, h = _struct.unpack_from("<ii", payload, 18)
+                bpp = _struct.unpack_from("<H", payload, 28)[0]
+                comp = _struct.unpack_from("<I", payload, 30)[0]
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        "only 24-bit BI_RGB BMP supported "
+                        f"(bpp={bpp}, comp={comp})"
+                    )
                 rs = (w * 3 + 3) // 4 * 4
                 rows = [
                     _np.frombuffer(payload, _np.uint8, count=w * 3, offset=off + r * rs)
@@ -433,6 +440,13 @@ def perceptual_hash(
             elif payload[:2] == b"BM":
                 off = _struct.unpack_from("<I", payload, 10)[0]
                 w, h = _struct.unpack_from("<ii", payload, 18)
+                bpp = _struct.unpack_from("<H", payload, 28)[0]
+                comp = _struct.unpack_from("<I", payload, 30)[0]
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        "only 24-bit BI_RGB BMP supported "
+                        f"(bpp={bpp}, comp={comp})"
+                    )
                 rs = (w * 3 + 3) // 4 * 4
                 rows = [
                     _np.frombuffer(payload, _np.uint8, count=w * 3, offset=off + r * rs)

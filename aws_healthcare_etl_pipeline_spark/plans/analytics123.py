@@ -27,7 +27,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -148,11 +148,16 @@ def _gs_oracle() -> str:
     "convergence is EMITTED as a flag, not assumed. The oracle "
     "unrolls the same rounds as generated chained CTEs with every "
     "level MATERIALIZED (each is referenced 3x — the re-inlining "
-    "trap); the Spark side iterates the bounded 25-row state table "
-    "with per-step barriers. 100 TB shape: pure model-table "
-    "computation — the preference matrices would come from one "
-    "data-scale locality aggregation, and the matching itself "
-    "never touches fact-grain data.",
+    "trap); the Spark side computes both preference matrices "
+    "IN SPARK (so hash semantics match the oracle bit-for-bit), "
+    "then runs deferred acceptance driver-side under the "
+    "bounded-collect contract — the state is 25 rows and the "
+    "matrices 625 rows BY CONSTRUCTION, and 16 iterated tiny-table "
+    "Spark rounds cost fixed job latency x rounds with zero data "
+    "parallelism to exploit (measured 19s at any SF). 100 TB "
+    "shape: pure model-table computation — the preference matrices "
+    "would come from one data-scale locality aggregation, and the "
+    "matching itself never touches fact-grain data.",
 )
 def match_stable_assignment(
     spark: SparkSession, sf_dir: str
@@ -161,28 +166,40 @@ def match_stable_assignment(
     ids = nation.select(F.col("n_nationkey").alias("k"))
     a = ids.select(F.col("k").alias("m"))
     b = ids.select(F.col("k").alias("w"))
-    hx = (
-        lambda prefix: (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(prefix),
-                            F.col("m").cast("string"),
-                            F.lit(":"),
-                            F.col("w").cast("string"),
-                        )
-                    ),
-                    1,
-                    4,
+
+    def hx(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        F.col("m").cast("string"),
+                        F.lit(":"),
+                        F.col("w").cast("string"),
+                    )
                 ),
-                16,
-                10,
-            ).cast("long")
-        )
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # Both 625-row preference matrices are computed IN SPARK (one
+    # tiny job) so the md5 nibble-ladder matches the oracle
+    # bit-for-bit, then collected ONCE under the bounded-collect
+    # contract: 25 keys x 25 keys BY CONSTRUCTION, independent of
+    # scale factor. The previous implementation iterated the 25-row
+    # state as a DataFrame with a hard collect barrier per round —
+    # correct, but 16 rounds x multi-join tiny plans = fixed job
+    # latency x rounds (19s at ANY SF, zero data parallelism to
+    # exploit). Deferred acceptance itself is pure model-table math;
+    # the driver loop below is the same contract as the k x dim
+    # centroid transfers, and the unchanged oracle hash proves it.
+    pm_rows = (
+        a.crossJoin(b).select("m", "w", hx("gs-m:").alias("r")).collect()
     )
-    pm = a.crossJoin(b).select("m", "w", hx("gs-m:").alias("r"))
-    pw_df = (
+    pw_rows = (
         a.crossJoin(b)
         .select(
             "w",
@@ -206,92 +223,71 @@ def match_stable_assignment(
             .cast("long")
             .alias("r"),
         )
-        .localCheckpoint(eager=False)  # 625-row preference matrix
+        .collect()
     )
-    wm = Window.partitionBy("m").orderBy("r", "w")
-    rt = pm.select(
-        "m", "w", (F.row_number().over(wm) - 1).alias("rnk")
-    ).localCheckpoint(eager=False)
-    ww = Window.partitionBy("w").orderBy("r", "m")
-    wrk = pw_df.select(
-        "w", "m", (F.row_number().over(ww) - 1).alias("wrnk")
-    )
-    state = ids.select(
-        F.col("k").alias("m"),
-        F.lit(0).alias("idx"),
-        F.lit(None).cast("long").alias("w"),
-    )
-    wwin = Window.partitionBy("tw").orderBy("r", "m")
-    for rnd in range(_GS_ROUNDS):
-        free = state.where(F.col("w").isNull()).select("m", "idx")
-        props = free.join(rt, ["m"]).where(
-            F.col("rnk") == F.col("idx")
-        ).select("m", F.col("w").alias("tw"))
-        standing = state.where(F.col("w").isNotNull()).select(
-            "m", F.col("w").alias("tw")
-        )
-        cands = standing.unionByName(props)
-        winners = (
-            cands.join(
-                pw_df.select(
-                    F.col("w").alias("tw"), F.col("m").alias("m"), "r"
-                ),
-                ["tw", "m"],
+
+    keys = sorted({row["m"] for row in pm_rows})
+    # rank table rt: per consumer m, shards ordered by (r, w);
+    # list position = rnk (the oracle's ROW_NUMBER()-1)
+    by_m: dict = {m: [] for m in keys}
+    for row in pm_rows:
+        by_m[row["m"]].append((row["r"], row["w"]))
+    rt = {m: [w for _, w in sorted(v)] for m, v in by_m.items()}
+    # shard-side preference: (w, m) -> r, and wrnk = rank of m in
+    # w's order by (r, m)
+    pwr = {(row["w"], row["m"]): row["r"] for row in pw_rows}
+    by_w: dict = {w: [] for w in keys}
+    for row in pw_rows:
+        by_w[row["w"]].append((row["r"], row["m"]))
+    wrnk = {}
+    for w, v in by_w.items():
+        for rank, (_, m) in enumerate(sorted(v)):
+            wrnk[(w, m)] = rank
+
+    # _GS_ROUNDS simultaneous-proposal rounds, replicating the
+    # oracle's st_k recurrence exactly: free consumers propose to
+    # their idx-th choice; each shard keeps the best of {standing
+    # partner, proposers} by (shard's r, m); idx advances ONLY for
+    # free consumers who proposed and did not win; w is the winner
+    # map's value (NULL for everyone else, displaced included).
+    state = {m: (0, None) for m in keys}
+    for _ in range(_GS_ROUNDS):
+        props = {
+            m: rt[m][idx]
+            for m, (idx, w) in state.items()
+            if w is None and idx < len(rt[m])
+        }
+        cands: dict = {}
+        for m, (idx, w) in state.items():
+            if w is not None:
+                cands.setdefault(w, []).append(m)
+        for m, tw in props.items():
+            cands.setdefault(tw, []).append(m)
+        winners = {
+            min(ms, key=lambda m: (pwr[(tw, m)], m)): tw
+            for tw, ms in cands.items()
+        }
+        state = {
+            m: (
+                idx
+                if m in winners
+                else (idx + 1 if w is None and m in props else idx),
+                winners.get(m),
             )
-            .withColumn("rn", F.row_number().over(wwin))
-            .where(F.col("rn") == 1)
-            .select("m", "tw")
-        )
-        state = (
-            state.join(
-                props.select("m", F.col("tw").alias("ptw")), "m", "left"
-            )
-            .join(
-                winners.select("m", F.col("tw").alias("wtw")),
-                "m",
-                "left",
-            )
-            .select(
-                "m",
-                F.when(F.col("wtw").isNotNull(), F.col("idx"))
-                .when(
-                    F.col("w").isNull() & F.col("ptw").isNotNull(),
-                    F.col("idx") + 1,
-                )
-                .otherwise(F.col("idx"))
-                .alias("idx"),
-                F.col("wtw").alias("w"),
-            )
-        )
-        # HARD barrier, every round: state is referenced 4x per
-        # round, so an unbarriered chain duplicates subtrees
-        # 4^k-fold; measured, even eager localCheckpoint left the
-        # per-round job cost growing ~4x once the matching converged
-        # (AQE re-optimization over the nested window subqueries).
-        # The state is 25 rows BY CONSTRUCTION (one per consumer), so
-        # a driver round-trip is a bounded-collect barrier, the same
-        # contract as the k x dim centroid transfers.
-        state = spark.createDataFrame(state.collect(), state.schema)
-    conv = state.agg(
-        F.when(
-            F.sum(F.when(F.col("w").isNull(), 1).otherwise(0)) == 0, 1
-        )
-        .otherwise(0)
-        .cast("long")
-        .alias("converged")
-    )
-    return (
-        state.join(wrk, ["w", "m"])
-        .crossJoin(F.broadcast(conv))
-        .select(
-            F.col("m").alias("consumer"),
-            F.col("w").cast("long").alias("shard"),
-            F.col("idx").cast("long").alias("consumer_rank"),
-            F.col("wrnk").cast("long").alias("shard_rank"),
-            "converged",
-        )
-        .orderBy("consumer")
-    )
+            for m, (idx, w) in state.items()
+        }
+
+    converged = int(all(w is not None for _, w in state.values()))
+    rows = [
+        (m, w, idx, wrnk[(w, m)], converged)
+        for m, (idx, w) in sorted(state.items())
+        if w is not None  # oracle's INNER join on wrk drops unmatched
+    ]
+    return spark.createDataFrame(
+        rows,
+        "consumer int, shard long, consumer_rank long, "
+        "shard_rank long, converged long",
+    ).orderBy("consumer")
 
 
 # ------------------------------------------------ Luhn audit

@@ -175,8 +175,6 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("ca") != F.col("cb"))
         )
-        if ec.limit(1).count() == 0:
-            break
         ed = F.struct("w", "ea", "eb", "na")
         cand = ec.select(F.col("ca").alias("c"), ed.alias("ed")).unionByName(
             ec.select(F.col("cb").alias("c"), ed.alias("ed"))
@@ -188,6 +186,15 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # Convergence check folded into the picks materialization: no
+        # cross edge <=> no candidate <=> picks empty. Checking picks
+        # (already checkpointed) costs a scan of a tiny cached table,
+        # where the previous standalone `ec.limit(1).count()` re-ran
+        # the full relabel join — one of THREE jobs per round, and a
+        # duplicate of the work picks does anyway. 3 -> 2 heavy jobs
+        # per round.
+        if picks.limit(1).count() == 0:
+            break
         chosen = (
             picks if chosen is None else chosen.unionByName(picks).distinct()
         )

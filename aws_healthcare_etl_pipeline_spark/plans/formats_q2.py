@@ -11,6 +11,8 @@ needing an XML parser in DuckDB.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +20,21 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import dec, query
+
+# Session-scoped scratch root for the write-then-read queries below.
+# Each invocation gets a fresh subdirectory (deltalite tables are
+# version-logs, so reuse would accrete manifests), but the whole root
+# is removed at interpreter exit — repeated bench warmup/run sessions
+# no longer leak parquet copies into /tmp unbounded.
+_SCRATCH_ROOT: list[str] = []
+
+
+def _scratch(prefix: str) -> str:
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="sparkgraft_fmt_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 
 @query(
@@ -50,7 +67,7 @@ def format_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         )
     )
-    base = tempfile.mkdtemp(prefix="textfmt_")
+    base = _scratch(prefix="textfmt_")
     lines.write.mode("overwrite").text(f"{base}/lines")
     back = spark.read.text(f"{base}/lines")
     return back.agg(
@@ -144,7 +161,7 @@ def format_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("o_orderkey") < 4000)
         .select("o_orderkey", dec("o_totalprice").alias("price"), "o_orderstatus")
     )
-    base = tempfile.mkdtemp(prefix="dpo_")
+    base = _scratch(prefix="dpo_")
     orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(base)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -213,7 +230,7 @@ def format_jsonl_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("}"),
         )
     )
-    base = tempfile.mkdtemp(prefix="jsonl_corrupt_")
+    base = _scratch(prefix="jsonl_corrupt_")
     docs.select(line.alias("value")).write.mode("overwrite").text(f"{base}/feed")
     parsed = (
         spark.read.schema("doc_id LONG, n_chars LONG, _corrupt_record STRING")
@@ -265,7 +282,7 @@ def format_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("note"),
         dec("o_totalprice").alias("price"),
     )
-    base = tempfile.mkdtemp(prefix="csv_ml_")
+    base = _scratch(prefix="csv_ml_")
     (
         rows.write.mode("overwrite")
         .option("header", "true")
@@ -319,7 +336,7 @@ def format_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(cents.cast("string"), 12, "0"),
         ).alias("value")
     )
-    base = tempfile.mkdtemp(prefix="fixedw_")
+    base = _scratch(prefix="fixedw_")
     lines.write.mode("overwrite").text(f"{base}/records")
     back = spark.read.text(f"{base}/records")
     parsed = back.select(
@@ -407,7 +424,7 @@ def format_csv_dialect_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("string"),
         ).alias("value")
     )
-    base = tempfile.mkdtemp(prefix="csv_dialect_")
+    base = _scratch(prefix="csv_dialect_")
     lines.write.mode("overwrite").text(base)
     parsed = (
         spark.read.schema("id long, s string, cents long")
@@ -492,7 +509,7 @@ def lakehouse_time_travel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="deltalite_")
+    path = _scratch(prefix="deltalite_")
     v0 = base.filter(F.col("id") < DL_KEY_CAP)
     write_table(v0, path, mode="overwrite")
     updates = (
@@ -578,7 +595,7 @@ def lakehouse_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="deltalite_cdc_")
+    path = _scratch(prefix="deltalite_cdc_")
     v0 = base.filter(F.col("id") < DL_KEY_CAP)
     write_table(v0, path, mode="overwrite")
     updates = (

@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,7 +80,20 @@ def _commit(path: str, files: list[str], operation: str) -> int:
     fd, tmp = tempfile.mkstemp(dir=_log_path(path), suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
-    os.rename(tmp, _manifest_file(path, version))  # atomic publish
+    # Atomic publish via hard-link: unlike rename, link() FAILS with
+    # EEXIST if the version was committed by someone else between our
+    # listdir and now — a racing writer gets a loud FileExistsError
+    # instead of silently clobbering a committed snapshot.
+    target = _manifest_file(path, version)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise FileExistsError(
+            f"deltalite version {version} already committed at {path} "
+            "(concurrent writer detected; retry from latest version)"
+        )
+    os.unlink(tmp)
     return version
 
 
@@ -149,19 +163,30 @@ def merge_upsert(
     return _commit(path, new_files, "merge")
 
 
-def vacuum(path: str) -> list[str]:
+def vacuum(path: str, retention_seconds: float = 600.0) -> list[str]:
     """Delete data files referenced by NO manifest (crash leftovers
     from writers that died before commit). Files referenced by ANY
     version are kept — time travel stays intact; dropping history
     would be a separate ``expire_versions`` policy decision.
+
+    ``retention_seconds`` (default 10 min, like Delta's vacuum
+    retention) skips unreferenced files younger than the cutoff: a
+    concurrent writer renames data files in BEFORE committing the
+    manifest that references them, so without the guard a vacuum
+    racing that window would delete in-flight data. Pass 0 only when
+    no writer can be running.
     Returns the deleted file names."""
     referenced: set[str] = set()
     for v in table_versions(path):
         referenced.update(_read_manifest(path, v)["files"])
+    now = time.time()
     deleted = []
     for f in os.listdir(path):
         if f.endswith(".parquet") and f not in referenced:
-            os.remove(os.path.join(path, f))
+            full = os.path.join(path, f)
+            if now - os.path.getmtime(full) < retention_seconds:
+                continue  # possibly a writer's pre-commit file
+            os.remove(full)
             deleted.append(f)
     return sorted(deleted)
 

@@ -75,7 +75,10 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
         os.path.join(orphan_src, part),
         os.path.join(path, "part-0rphan0rphan0rph.parquet"),
     )
-    deleted = vacuum(path)
+    # retention guard: the orphan is younger than the cutoff -> kept
+    assert vacuum(path) == []
+    # retention_seconds=0 = "no writer running" -> orphan removed
+    deleted = vacuum(path, retention_seconds=0)
     assert deleted == ["part-0rphan0rphan0rph.parquet"]
     # both versions still fully readable (time travel intact)
     assert read_table(spark, path, version=0).count() == 1
