@@ -71,412 +71,359 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-window ordering. The driver checks the FIRST ~50 entries
-# of queries() each round; rounds 1-4 verified 196 distinct queries green
-# (CORRECTNESS_r01-r04, zero unfixed failures). Round 5 front-loads the
-# LAST 47 queries that have never had a driver correctness row (the
-# wave 5-27 residue + the wave-39 additions), then the three most novel
-# wave-40 queries (integer-lattice k-means, the BPE trainer, the
-# perceptual-hash lane). Past slot 50: the remaining wave-40 additions,
-# then the two r5 REWRITES (dedup_method_agreement, events_ewma_daily_
-# value - both re-verified at sf0.01 by the in-repo driver sim after
-# their rewrites, queued here for fresh driver rows if the window is
-# wider). Previously-green entries trail via _ordered_names (still
-# covered by the sf0.001 pytest parity gate every round).
+# of queries() each round; rounds 1-5 verified 246 distinct queries green
+# (CORRECTNESS_r01-r05, zero unfixed failures). Round 6 front-loads 50 of
+# the 338 never-driver-checked queries, leading with the HEAVIEST AND MOST
+# NOVEL (the round-5 verdict's named list: stable matching, Boruvka MST,
+# k-hop SSSP, monthly DTW, the refinery capstone, Apriori triples,
+# asymmetric-containment dedup, revenue recognition, LRU replay, Markov
+# removal attribution, the F2 moment sketch, and the session-6 novelties),
+# then the remaining never-checked sorted by measured sf0.1 cost
+# descending. Past slot 50: every OTHER never-checked query (so any wider
+# window still hits fresh rows first); previously-green entries trail via
+# _ordered_names (still covered by the sf0.001 pytest parity gate and the
+# full sf0.01 driver_sim certification each round).
 _VERIFICATION_PRIORITY = [
-    # --- front 50: never driver-checked ---
-    "funnel_conversion_lag_stats",
-    "degree_distribution_suppliers",
-    "map_function_battery",
-    "posexplode_reconstruction",
-    "orderkey_gap_islands",
-    "asof_tolerance_attribution",
-    "text_pii_redaction",
-    "gapfill_linear_interp",
-    "pattern_event_sequences",
-    "layout_zorder_box_query",
-    "sampling_weighted_reservoir",
-    "pipeline_document_chunking",
-    "events_time_weighted_value",
-    "attribution_linear_multitouch",
-    "rolling_median_weekly",
-    "hierarchy_transitive_closure",
-    "maintenance_compact_files",
-    "approx_hll_mergeable",
-    "audit_benford_first_digit",
-    "concurrency_sweepline_daily",
-    "text_readability_scores",
-    "feature_quantile_normalization",
-    "window_rank_battery",
-    "scalar_try_functions_battery",
-    "maintenance_gdpr_erasure",
-    "privacy_pseudonymize_stable_ids",
-    "events_sliding_distinct_users",
-    "interval_join_campaign_orders",
-    "text_gopher_filters",
-    "approx_frequent_tokens",
-    "text_bigram_continuation_counts",
-    "timeseries_seasonal_decompose",
-    "events_growth_accounting",
-    "basket_association_rules",
-    "setop_all_variants",
-    "join_hint_shuffle_hash",
-    "generator_outer_edge_battery",
-    "join_null_safe_equality",
-    "agg_listagg_ordered",
-    "agg_bitwise_battery",
-    "supplier_ontime_wilson_rank",
-    "text_zipf_rank_frequency",
-    "quality_linear_classifier",
-    "join_bloom_filter_audit",
-    "graph_label_propagation_rounds",
-    "events_approx_quantile_band",
-    "multimodal_real_decode_stats",
-    "emb_kmeans_lloyd_rounds",
-    "text_bpe_merge_rounds",
-    "multimodal_phash_dedup",
-    # --- waves 142-144 (added after the front-50 freeze) ---
-    "ml_cost_optimal_threshold",
-    "events_session_type_lift",
-    "survival_logrank_test",
-    "interval_allen_census",
-    "alloc_apportionment_methods",
-    "graph_dag_critical_path",
-    "attribution_markov_removal",
-    "layout_learned_index_epsilon",
-    "cf_item_item_topk",
-    "ml_naive_bayes_exact_argmax",
-    "data_shapley_knn_exact",
-    "rank_kendall_tau_nations",
-    "causal_diff_in_differences",
-    "linkage_phonetic_blocking",
+    # --- front 50: never driver-checked, heavy/novel first ---
     "match_stable_assignment",
-    "dq_luhn_check_digit_audit",
-    "sql_relational_division",
-    "time_iso_week_battery",
-    "dq_foreign_key_inference",
-    "causal_coarsened_exact_matching",
-    "graph_functional_cycle_structure",
-    "regression_ols_exact",
-    "search_prf_query_expansion",
-    "cf_recommendation_coverage",
-    "ops_littles_law_identity",
-    "stats_ipf_raking",
-    "process_trace_variants_conformance",
-    "queue_lindley_wait_replay",
-    "routing_tsp_nn_2opt",
-    "finance_fx_triangulation_audit",
-    "election_irv_rounds",
-    "election_voting_rules_compared",
-    "ml_capstone_nb_threshold_fairness",
-    "layout_range_partition_balance",
-    "optimizer_independence_qerror",
-    "geo_closest_pair_pernation",
-    "changepoint_two_segment_sse",
-    "inequality_gini_lorenz",
-    "text_kwic_concordance",
-    "graph_hits_bipartite_counts",
-    "sampling_neyman_sd_allocation",
-    "seq_lis_per_customer",
-    "rank_wilson_lower_bound",
-    "ml_adaboost_two_round_stumps",
-    "time_t2_settlement_battery",
-    "approx_hll_register_audit",
-    "layout_compaction_coalesce_plan",
-    "text_zipf_bigram_buckets",
-    "finance_vwap_divergence",
-    "dq_constraint_mining_audit",
-    "stats_median_of_means",
-    "sql_null_ordering_battery",
-    "sec_impossible_travel_audit",
-    "scd_aswas_vs_asis_revenue",
-    "events_dau_mau_stickiness",
-    "lakehouse_snapshot_diff_audit",
-    "emb_int8_quantization_error",
-    "finance_price_volume_bridge",
-    "search_phrase_positional_index",
-    "storage_delta_of_delta_gorilla",
-    "ops_otif_fill_rate",
-    "causal_rdd_quantity_cutoff",
-    "time_fiscal_445_calendar",
-    "graph_two_hop_reach_panel",
-    "finance_rounding_mode_battery",
-    "sampling_systematic_vs_hash",
-    "events_markov_homogeneity",
-    "sql_decorrelation_equivalence",
-    "emb_fisher_label_separation",
-    "audit_event_hash_chain",
-    "ml_nb_learning_curve",
-    "audit_duplicate_payment_detector",
-    "privacy_generalization_ladder",
-    "sql_range_vs_rows_frames",
-    "mdm_survivorship_policy_battery",
-    "ops_backoff_conformance_audit",
-    "stats_effective_sample_size",
-    "inventory_intermittency_quadrants",
-    "graph_friendship_paradox",
-    "sql_null_semantics_battery",
-    "election_kemeny_rank_4",
-    "opt_knapsack_density_gap",
-    "risk_cvar_tail_concentration",
-    "graph_rich_club_permille",
-    "optimizer_predicate_order_cost",
-    "inequality_hoover_index",
-    "privacy_fpe_mask_audit",
-    "audit_tv_distance_drift",
-    "text_good_turing_mass",
-    "finance_npv_irr_rate_grid",
-    "sched_smith_rule_wspt",
-    "dedup_shingle_size_sensitivity",
-    "emb_triangle_inequality_audit",
-    "supply_bullwhip_ratio",
-    "privacy_erasure_blast_radius",
-    "stats_grain_fallacy_audit",
-    "sql_window_frame_default_trap",
-    "finance_stepdown_allocation",
-    "experiment_icc_design_effect",
-    "inventory_demand_quantiles_counting",
-    "sql_explode_outer_battery",
-    "graph_triangle_sample_estimator",
-    "dq_semantic_type_inference",
-    "inventory_leadtime_demand_convolution",
-    "finance_max_drawdown_underwater",
-    "stats_median_ci_orderstat",
-    "ops_incident_cooccurrence_lift",
-    "time_add_months_eom_battery",
-    "dq_correlation_matrix",
-    "brand_rank_momentum",
-    "pipeline_release_scorecard_capstone",
-    "risk_block_maxima_return_level",
-    "hash_truncation_collision_audit",
-    "sql_full_outer_rewrite_equivalence",
-    "dq_ingestion_gap_detector",
-    "ml_leakage_detector_audit",
-    "sales_quarter_hockey_stick",
-    "ops_sla_credit_calculation",
-    "supplier_composite_scorecard",
+    "graph_mst_boruvka",
+    "graph_sssp_khop_cheapest",
+    "timeseries_dtw_monthly",
+    "pipeline_refinery_capstone_v2",
+    "basket_apriori_triples",
+    "dedup_containment_asymmetric",
+    "revenue_recognition_schedule",
+    "cache_lru_hit_rate",
+    "attribution_markov_removal",
+    "approx_f2_moment_sketch",
     "stats_cramer_von_mises_exact",
-    "causal_quantile_treatment_effect",
+    "finance_order_total_reconciliation",
     "anomaly_mahalanobis_diag_topk",
     "graph_health_card",
-    "finance_order_total_reconciliation",
-    "inventory_dead_stock_audit",
-    "assortment_coverage_gaps",
-    # --- past slot 50: wave-40 remainder, then the r5 rewrites ---
-    "privacy_k_anonymity_audit",
-    "approx_cms_count_estimates",
-    "stats_ndv_correlation_audit",
-    "experiment_cuped_variance_reduction",
-    "geo_point_in_polygon_winding",
-    "ml_gini_stump_induction",
-    "stats_benjamini_hochberg_fdr",
-    "stats_bootstrap_ci_deterministic",
-    "ml_qini_uplift_deciles",
-    "dedup_containment_asymmetric",
-    "ml_permutation_feature_importance",
-    "graph_betweenness_nations",
-    "forecast_pinball_loss_eval",
-    "privacy_randomized_response_estimate",
-    "stats_histogram_selectivity_audit",
-    "events_peak_prominence_daily",
-    "events_heavy_hitters_mg_replay",
-    "forecast_holt_linear_replay",
-    "experiment_ipw_confounder_correction",
-    "timeseries_dtw_monthly",
-    "layout_delta_varint_economics",
-    "ml_roc_threshold_sweep",
-    "inventory_eoq_batch_sizing",
-    "stat_mood_dispersion_test",
-    "ops_erlang_b_blocking",
-    "multimodal_audio_pitch_autocorr",
-    "pipeline_dataloader_shuffle_audit",
-    "linkage_fellegi_sunter_scores",
-    "events_markov_stationary_power",
-    "stat_exact_permutation_pvalue",
-    "text_burrows_delta_stylometry",
-    "quality_shewhart_control_chart",
-    "graph_eccentricity_diameter",
-    "inventory_newsvendor_quantile",
-    "experiment_srm_guardrail",
-    "stats_jackknife_ratio_variance",
-    "ml_evalset_sizing_curve",
-    "ml_average_precision_exact",
-    "ops_cron_schedule_expansion",
-    "ml_mcnemar_paired_classifiers",
-    "serving_decayed_leaderboard",
-    "timeseries_kadane_extremes",
-    "orders_abc_xyz_classification",
-    "graph_jaccard_link_prediction",
-    "events_poisson_dispersion_test",
-    "streaming_windowed_topk_types",
-    "ops_kingman_vut_approximation",
-    "optimizer_join_order_cost_audit",
-    "customer_value_tier_migration",
-    "emb_jl_projection_distortion",
-    "ops_incident_mttr_stats",
-    "stat_spearman_rank_correlation",
-    "sql_not_in_null_trap_battery",
-    "finance_net_dollar_retention",
-    "stats_cusum_arl_calibration",
-    "ml_kfold_cv_accuracy",
-    "graph_personalized_pagerank",
-    "finance_arc_price_elasticity",
-    "geo_getis_ord_hotspots",
-    "ml_brier_murphy_decomposition",
-    "slo_multiwindow_burn_alerts",
-    "search_rrf_rank_fusion",
-    "layout_sort_order_rle_bakeoff",
-    "dq_primary_key_violation_audit",
-    "sql_integer_division_semantics_battery",
-    "approx_hdr_histogram_quantile_audit",
-    "search_rbo_rank_overlap",
-    "experiment_mde_power_analysis",
-    "layout_codec_chooser",
-    "fairness_equalized_odds_audit",
-    "dedup_shard_strategy_audit",
-    "events_autocorrelation_daily",
-    "trend_mann_kendall_monthly",
-    "join_salted_skew_equivalence",
-    "sql_pivot_quarterly_revenue",
-    "orders_cum_distinct_customers",
-    "dedup_method_agreement",
-    "events_ewma_daily_value",
-    "stat_ks_two_sample",
-    "emb_triplet_margin_audit",
-    "text_rake_keyphrases",
-    "multimodal_audio_frame_energy",
-    "search_trigram_fuzzy_parts",
-    "orders_backlog_daily",
-    "emb_cosine_pair_histogram",
-    "join_bucketed_colocated",
-    "text_hashing_trick_collisions",
-    "pipeline_bpe_tokenize_apply",
-    "events_watermark_lateness_profile",
-    "streaming_token_bucket_quota",
-    "format_csv_dialect_battery",
-    "dedup_minhash_estimator_error",
-    "lakehouse_time_travel_merge",
-    "lakehouse_cdc_changefeed",
-    "dedup_threshold_yield_curve",
-    "sql_nulls_ordering_battery",
-    "agg_mode_deterministic",
-    "format_csv_malformed_modes",
-    "scd2_point_in_time_join",
-    "emb_mips_vs_cosine_divergence",
-    "text_stopword_discovery",
+    "finance_stepdown_allocation",
+    "experiment_icc_design_effect",
+    "pipeline_release_scorecard_capstone",
     "graph_clustering_coefficient",
-    "multimodal_frame_dedup",
-    "text_ngram_novelty_rate",
-    "time_fiscal_calendar_rollup",
-    "graph_bfs_reachability_khop",
-    "geo_grid_radius_join",
-    "events_cusum_changepoint",
-    "time_business_day_sla",
-    "search_phrase_positions",
-    "privacy_dp_geometric_counts",
-    # --- waves 55-65 (this round's additions, never driver-checked) ---
-    "inventory_capped_running_balance",
-    "pipeline_dataset_shard_manifest",
-    "emb_mmr_diversified_topk",
-    "privacy_t_closeness_emd",
-    "view_incremental_join_maintenance",
-    "fairness_selection_rate_audit",
-    "revenue_recognition_schedule",
-    "fd_discovery_audit",
-    "layout_zonemap_skipping_audit",
-    "sim_ndcg_retrieval_eval",
-    "survival_km_hazard_table",
-    "basket_apriori_triples",
-    "inventory_fifo_lot_valuation",
-    "forecast_conformal_interval_audit",
-    "finance_price_volume_mix",
-    "slo_error_budget_burn",
-    "trend_theil_sen_slope",
-    "corpus_drift_idf_shift",
-    "scheduling_weighted_interval_dp",
-    "text_hapax_ratio_by_lang",
-    "text_encoding_byte_audit",
-    "sampling_neyman_allocation",
-    "graph_katz_centrality_integer",
-    "multimodal_audio_zero_crossings",
-    "timeseries_haar_wavelet_energy",
-    "selection_greedy_max_coverage",
-    "stats_simpsons_paradox_scan",
-    "stats_exact_raw_moments",
-    "audit_merkle_month_digests",
-    "isotonic_regression_exact",
-    "layout_prefix_compression_audit",
-    "cache_lru_hit_rate",
-    "quality_expectation_suite",
-    "cdc_log_compaction",
-    "attribution_shapley_exact",
-    "events_weekday_hour_heatmap",
-    "approx_f2_moment_sketch",
-    "audit_join_fanout_estimates",
-    "serving_hierarchical_range_sums",
-    "orders_priority_mix_shift",
-    "graph_mst_boruvka",
-    "dist_consistent_hash_rebalance",
-    "dist_rendezvous_hash_rebalance",
-    "stat_kruskal_wallis_ranksums",
-    "market_concentration_cr4",
-    "timeseries_sax_motifs",
-    "search_postings_gap_stats",
-    "pipeline_filter_attrition_funnel",
-    "events_repeat_rate_7d",
-    "ml_auc_feature_screen",
-    "ml_target_encoding_loo",
-    "sim_matryoshka_prefix_recall",
-    "graph_modularity_nations",
-    "experiment_sprt_daily_replay",
-    "ml_calibration_reliability_bins",
-    "ml_negative_sampling_audit",
-    "audit_price_round_number_bias",
-    "text_skipgram_pairs",
-    "anomaly_hampel_filter_daily",
-    "bandit_epsilon_greedy_replay",
-    "compression_rle_economics",
-    "geo_dbscan_grid_clusters",
-    "timeseries_rolling_correlation",
-    "alloc_maxmin_fair_share",
-    "layout_hilbert_vs_zorder_locality",
-    "regression_ransac_deterministic",
-    "layout_dictionary_encoding_economics",
-    "encoding_huffman_5symbol_exact",
-    "eval_topk_stability_splithalf",
-    "attribution_position_based",
-    "emb_nearest_centroid_accuracy",
-    "alert_hysteresis_daily",
-    "ml_gain_chart_deciles",
-    "forecast_backtest_naive_vs_seasonal",
-    "stat_quantile_mapping_transfer",
-    "search_autocomplete_prefix_topk",
-    "privacy_l_diversity_audit",
-    "repair_mode_imputation_accuracy",
-    "multimodal_video_scene_cuts",
-    "ml_annotator_agreement_kappa",
-    "dedup_cross_source_matrix",
-    "graph_sssp_khop_cheapest",
-    "audience_overlap_matrix",
-    "supply_bullwhip_variance_ratio",
-    "queueing_littles_law_audit",
-    "inventory_reorder_point_replay",
-    "auction_second_price_clearing",
-    "scheduling_knapsack_exact",
+    "graph_functional_cycle_structure",
+    "graph_dag_critical_path",
+    "search_prf_query_expansion",
+    "stat_mood_dispersion_test",
     "emb_knn_distance_outliers",
-    "ml_model_scorecard",
-    "pipeline_refinery_capstone_v2",
-    "asof_nearest_purchase_click",
-    "multimodal_audio_vad_segments",
-    "audit_duplicate_invoice_candidates",
-    "emb_fisher_separation_ratio",
+    "ml_adaboost_two_round_stumps",
+    "dq_foreign_key_inference",
+    "cf_recommendation_coverage",
+    "stat_kruskal_wallis_ranksums",
+    "graph_personalized_pagerank",
+    "layout_sort_order_rle_bakeoff",
+    "ml_roc_threshold_sweep",
+    "seq_lis_per_customer",
+    "dedup_minhash_estimator_error",
+    "dedup_threshold_yield_curve",
+    "dedup_shingle_size_sensitivity",
+    "multimodal_audio_pitch_autocorr",
+    "dedup_cross_source_matrix",
+    "ml_capstone_nb_threshold_fairness",
+    "emb_jl_projection_distortion",
+    "scheduling_knapsack_exact",
+    "selection_greedy_max_coverage",
+    "scheduling_weighted_interval_dp",
+    "join_bucketed_colocated",
+    "geo_dbscan_grid_clusters",
+    "stats_histogram_selectivity_audit",
+    "stat_spearman_rank_correlation",
+    "graph_hits_bipartite_counts",
+    "events_markov_stationary_power",
+    "cf_item_item_topk",
+    "encoding_huffman_5symbol_exact",
+    # --- remaining never-driver-checked (288) ---
+    "serving_hierarchical_range_sums",
+    "dist_consistent_hash_rebalance",
+    "streaming_token_bucket_quota",
+    "graph_bfs_reachability_khop",
+    "graph_betweenness_nations",
+    "events_heavy_hitters_mg_replay",
+    "text_ngram_novelty_rate",
+    "audit_join_fanout_estimates",
+    "stats_ndv_correlation_audit",
+    "graph_eccentricity_diameter",
+    "approx_hdr_histogram_quantile_audit",
+    "election_irv_rounds",
+    "ml_cost_optimal_threshold",
+    "search_rrf_rank_fusion",
+    "graph_triangle_sample_estimator",
+    "graph_two_hop_reach_panel",
+    "queue_lindley_wait_replay",
+    "emb_mmr_diversified_topk",
+    "stats_exact_raw_moments",
+    "stats_bootstrap_ci_deterministic",
+    "customer_value_tier_migration",
+    "inventory_leadtime_demand_convolution",
+    "bandit_epsilon_greedy_replay",
+    "inventory_capped_running_balance",
     "fd_inclusion_dependency_discovery",
+    "process_trace_variants_conformance",
+    "multimodal_audio_zero_crossings",
+    "inventory_demand_quantiles_counting",
+    "orders_abc_xyz_classification",
+    "rank_kendall_tau_nations",
+    "graph_katz_centrality_integer",
+    "fd_discovery_audit",
+    "geo_grid_radius_join",
+    "geo_getis_ord_hotspots",
+    "attribution_shapley_exact",
+    "sim_matryoshka_prefix_recall",
+    "inventory_reorder_point_replay",
+    "emb_triplet_margin_audit",
+    "auction_second_price_clearing",
+    "interval_allen_census",
+    "ml_model_scorecard",
+    "graph_jaccard_link_prediction",
+    "inventory_newsvendor_quantile",
+    "sched_smith_rule_wspt",
+    "inventory_fifo_lot_valuation",
+    "multimodal_audio_vad_segments",
+    "audit_merkle_month_digests",
+    "stats_cusum_arl_calibration",
+    "streaming_windowed_topk_types",
+    "layout_range_partition_balance",
+    "ml_qini_uplift_deciles",
+    "graph_rich_club_permille",
+    "sampling_neyman_sd_allocation",
+    "ml_average_precision_exact",
+    "text_skipgram_pairs",
+    "search_rbo_rank_overlap",
+    "search_postings_gap_stats",
+    "finance_price_volume_mix",
+    "ml_nb_learning_curve",
+    "causal_quantile_treatment_effect",
+    "events_session_type_lift",
+    "brand_rank_momentum",
+    "view_incremental_join_maintenance",
+    "graph_modularity_nations",
+    "stats_simpsons_paradox_scan",
+    "finance_arc_price_elasticity",
+    "timeseries_haar_wavelet_energy",
+    "inequality_gini_lorenz",
+    "text_burrows_delta_stylometry",
+    "asof_nearest_purchase_click",
+    "emb_cosine_pair_histogram",
+    "events_peak_prominence_daily",
+    "dq_correlation_matrix",
+    "inventory_intermittency_quadrants",
+    "search_trigram_fuzzy_parts",
+    "eval_topk_stability_splithalf",
+    "finance_net_dollar_retention",
+    "dq_primary_key_violation_audit",
+    "supply_bullwhip_variance_ratio",
+    "events_repeat_rate_7d",
+    "market_concentration_cr4",
+    "data_shapley_knn_exact",
+    "repair_mode_imputation_accuracy",
+    "time_business_day_sla",
+    "ops_littles_law_identity",
+    "geo_closest_pair_pernation",
+    "election_voting_rules_compared",
+    "graph_friendship_paradox",
+    "dq_semantic_type_inference",
+    "layout_hilbert_vs_zorder_locality",
+    "experiment_ipw_confounder_correction",
+    "orders_priority_mix_shift",
+    "stats_ipf_raking",
+    "finance_vwap_divergence",
+    "emb_nearest_centroid_accuracy",
+    "search_phrase_positions",
+    "ml_brier_murphy_decomposition",
+    "experiment_cuped_variance_reduction",
+    "optimizer_join_order_cost_audit",
+    "ops_kingman_vut_approximation",
+    "text_kwic_concordance",
+    "emb_fisher_label_separation",
+    "quality_expectation_suite",
+    "layout_delta_varint_economics",
+    "risk_cvar_tail_concentration",
+    "pipeline_bpe_tokenize_apply",
+    "emb_mips_vs_cosine_divergence",
+    "graph_degree_assortativity",
+    "audit_duplicate_invoice_candidates",
     "forecast_croston_intermittent",
+    "lakehouse_cdc_changefeed",
+    "forecast_holt_linear_replay",
+    "ml_target_encoding_loo",
+    "compression_rle_economics",
+    "alloc_maxmin_fair_share",
+    "stats_median_ci_orderstat",
+    "isotonic_regression_exact",
+    "ml_naive_bayes_exact_argmax",
+    "multimodal_audio_frame_energy",
+    "text_rake_keyphrases",
+    "text_zipf_bigram_buckets",
+    "ops_otif_fill_rate",
+    "multimodal_video_scene_cuts",
+    "corpus_drift_idf_shift",
+    "dq_constraint_mining_audit",
+    "linkage_phonetic_blocking",
+    "trend_theil_sen_slope",
+    "sampling_design_error_comparison",
+    "stat_quantile_mapping_transfer",
+    "attribution_position_based",
+    "emb_fisher_separation_ratio",
+    "stats_benjamini_hochberg_fdr",
+    "assortment_coverage_gaps",
+    "lakehouse_time_travel_merge",
+    "pipeline_dataloader_shuffle_audit",
+    "cdc_log_compaction",
+    "stat_ks_two_sample",
+    "events_circular_hour_stats",
+    "inequality_hoover_index",
+    "scd2_point_in_time_join",
+    "layout_learned_index_epsilon",
+    "finance_npv_irr_rate_grid",
+    "rank_wilson_lower_bound",
+    "sampling_systematic_vs_hash",
+    "sim_ndcg_retrieval_eval",
+    "causal_diff_in_differences",
+    "mdm_survivorship_policy_battery",
+    "sql_relational_division",
+    "ml_evalset_sizing_curve",
+    "layout_dictionary_encoding_economics",
+    "layout_prefix_compression_audit",
+    "timeseries_kadane_extremes",
+    "forecast_pinball_loss_eval",
+    "regression_ransac_deterministic",
+    "routing_tsp_nn_2opt",
+    "anomaly_hampel_filter_daily",
+    "supplier_composite_scorecard",
+    "privacy_erasure_blast_radius",
+    "pipeline_dataset_shard_manifest",
+    "changepoint_two_segment_sse",
+    "stats_grain_fallacy_audit",
+    "inventory_eoq_batch_sizing",
+    "join_salted_skew_equivalence",
+    "audit_event_hash_chain",
+    "layout_compaction_coalesce_plan",
+    "causal_coarsened_exact_matching",
+    "sql_not_in_null_trap_battery",
+    "finance_price_volume_bridge",
+    "stat_exact_permutation_pvalue",
+    "layout_zonemap_skipping_audit",
+    "privacy_t_closeness_emd",
+    "events_dau_mau_stickiness",
+    "sec_impossible_travel_audit",
+    "queueing_littles_law_audit",
+    "ml_permutation_feature_importance",
+    "layout_codec_chooser",
+    "events_watermark_lateness_profile",
+    "alloc_apportionment_methods",
+    "optimizer_independence_qerror",
+    "approx_cms_count_estimates",
+    "orders_backlog_daily",
+    "events_cusum_changepoint",
+    "ops_incident_mttr_stats",
+    "time_fiscal_calendar_rollup",
+    "linkage_fellegi_sunter_scores",
+    "forecast_conformal_interval_audit",
+    "privacy_k_anonymity_audit",
+    "hash_truncation_collision_audit",
+    "text_hashing_trick_collisions",
+    "survival_logrank_test",
+    "supply_bullwhip_ratio",
+    "opt_knapsack_density_gap",
+    "privacy_dp_geometric_counts",
+    "privacy_l_diversity_audit",
+    "multimodal_frame_dedup",
+    "sql_integer_division_semantics_battery",
+    "format_csv_malformed_modes",
+    "stats_jackknife_ratio_variance",
+    "emb_int8_quantization_error",
+    "sales_quarter_hockey_stick",
+    "ml_gini_stump_induction",
+    "dist_rendezvous_hash_rebalance",
+    "finance_max_drawdown_underwater",
+    "audit_duplicate_payment_detector",
+    "geo_point_in_polygon_winding",
+    "format_csv_dialect_battery",
+    "experiment_sprt_daily_replay",
+    "approx_hll_register_audit",
+    "ml_auc_feature_screen",
+    "causal_rdd_quantity_cutoff",
+    "stats_median_of_means",
+    "experiment_mde_power_analysis",
+    "finance_fx_triangulation_audit",
+    "ops_erlang_b_blocking",
+    "audit_tv_distance_drift",
+    "trend_mann_kendall_monthly",
+    "events_markov_homogeneity",
+    "ml_negative_sampling_audit",
+    "sql_full_outer_rewrite_equivalence",
+    "ml_leakage_detector_audit",
+    "search_autocomplete_prefix_topk",
+    "finance_rounding_mode_battery",
+    "ml_gain_chart_deciles",
+    "alert_hysteresis_daily",
+    "dq_luhn_check_digit_audit",
+    "inventory_dead_stock_audit",
+    "text_hapax_ratio_by_lang",
+    "audience_overlap_matrix",
+    "lakehouse_snapshot_diff_audit",
+    "timeseries_sax_motifs",
+    "ops_cron_schedule_expansion",
+    "election_kemeny_rank_4",
+    "ops_incident_cooccurrence_lift",
+    "forecast_backtest_naive_vs_seasonal",
+    "quality_shewhart_control_chart",
+    "timeseries_rolling_correlation",
+    "events_weekday_hour_heatmap",
     "stat_runs_test_daily",
+    "ops_backoff_conformance_audit",
+    "ops_sla_credit_calculation",
+    "regression_ols_exact",
+    "scd_aswas_vs_asis_revenue",
     "dq_freshness_staleness_audit",
     "timeseries_best_split_changepoint",
-    "sampling_design_error_comparison",
-    "events_circular_hour_stats",
-    "graph_degree_assortativity",
+    "fairness_selection_rate_audit",
+    "risk_block_maxima_return_level",
+    "stats_effective_sample_size",
+    "ml_kfold_cv_accuracy",
+    "survival_km_hazard_table",
+    "sql_decorrelation_equivalence",
+    "ml_annotator_agreement_kappa",
+    "experiment_srm_guardrail",
+    "orders_cum_distinct_customers",
+    "privacy_generalization_ladder",
+    "events_autocorrelation_daily",
+    "time_fiscal_445_calendar",
+    "search_phrase_positional_index",
+    "text_stopword_discovery",
+    "pipeline_filter_attrition_funnel",
+    "privacy_randomized_response_estimate",
+    "serving_decayed_leaderboard",
+    "sampling_neyman_allocation",
+    "ml_calibration_reliability_bins",
+    "audit_price_round_number_bias",
+    "sql_pivot_quarterly_revenue",
+    "slo_error_budget_burn",
+    "events_poisson_dispersion_test",
+    "optimizer_predicate_order_cost",
+    "slo_multiwindow_burn_alerts",
+    "storage_delta_of_delta_gorilla",
+    "sql_range_vs_rows_frames",
+    "text_good_turing_mass",
+    "agg_mode_deterministic",
+    "sql_nulls_ordering_battery",
+    "sql_null_ordering_battery",
+    "fairness_equalized_odds_audit",
+    "dedup_shard_strategy_audit",
+    "time_iso_week_battery",
+    "privacy_fpe_mask_audit",
+    "ml_mcnemar_paired_classifiers",
+    "emb_triangle_inequality_audit",
+    "sql_window_frame_default_trap",
+    "sql_explode_outer_battery",
+    "time_add_months_eom_battery",
+    "time_t2_settlement_battery",
+    "text_encoding_byte_audit",
+    "dq_ingestion_gap_detector",
+    "sql_null_semantics_battery",
 ]
 
 
