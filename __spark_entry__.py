@@ -135,6 +135,26 @@ _VERIFICATION_PRIORITY = [
     "events_markov_stationary_power",
     "cf_item_item_topk",
     "encoding_huffman_5symbol_exact",
+    # --- wave-210 (round 6): never driver-checked, behind the window ---
+    "approx_countmin_sketch_audit",
+    "sketch_bloom_fpr_audit",
+    "dedup_lsh_band_row_tradeoff",
+    "inventory_wac_moving_average",
+    "finance_amortization_schedule",
+    "finance_day_count_conventions",
+    "window_ntile_remainder_semantics",
+    "sql_qualify_window_filter",
+    "sql_grouping_id_rollup_decode",
+    "pipeline_curriculum_stage_budgets",
+    "pipeline_temperature_sampling_weights",
+    "web_url_canonical_dedup",
+    "text_boilerplate_line_removal",
+    "events_sliding_window_rate_limit",
+    "agg_approx_percentile_rank_guarantee",
+    "emb_power_iteration_top_eigen",
+    "graph_avg_neighbor_degree",
+    "join_hot_cold_split_equivalence",
+    "multimodal_audio_gain_normalize",
     # --- remaining never-driver-checked (288) ---
     "serving_hierarchical_range_sums",
     "dist_consistent_hash_rebalance",

@@ -461,6 +461,26 @@ HEADLINE = [
     "finance_order_total_reconciliation",
     "inventory_dead_stock_audit",
     "assortment_coverage_gaps",
+    # round 6 additions: wave 210
+    "approx_countmin_sketch_audit",
+    "sketch_bloom_fpr_audit",
+    "dedup_lsh_band_row_tradeoff",
+    "inventory_wac_moving_average",
+    "finance_amortization_schedule",
+    "finance_day_count_conventions",
+    "window_ntile_remainder_semantics",
+    "sql_qualify_window_filter",
+    "sql_grouping_id_rollup_decode",
+    "pipeline_curriculum_stage_budgets",
+    "pipeline_temperature_sampling_weights",
+    "web_url_canonical_dedup",
+    "text_boilerplate_line_removal",
+    "events_sliding_window_rate_limit",
+    "agg_approx_percentile_rank_guarantee",
+    "emb_power_iteration_top_eigen",
+    "graph_avg_neighbor_degree",
+    "join_hot_cold_split_equivalence",
+    "multimodal_audio_gain_normalize",
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
