@@ -755,3 +755,52 @@ def test_r5_wave205plus_shapes(spark, sf_dir):
         REGISTRY["stats_cramer_von_mises_exact"].fn(spark, sf_dir)
     )
     assert "windowspecdefinition(band#" in plan, plan
+
+
+def test_r6_wave210_shapes(spark, sf_dir):
+    """Wave-210 pins: sketches stay broadcast-shaped, the keyed scan
+    stays a single-shuffle MapInPandas, the skew escape never goes
+    cartesian, and the spectral query never ships data to the join."""
+    # Count-Min: estimation joins the key set to the 768-cell sketch —
+    # that side must be a broadcast, never a shuffled join
+    plan = physical_plan(
+        REGISTRY["approx_countmin_sketch_audit"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # Bloom: the bit set is broadcast to the probe side
+    plan = physical_plan(REGISTRY["sketch_bloom_fpr_audit"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # WAC: the recurrence is ONE keyed-scan pass — a MapInPandas over a
+    # single lineitem scan, no second fact scan
+    plan = physical_plan(
+        REGISTRY["inventory_wac_moving_average"].fn(spark, sf_dir)
+    )
+    assert "MapInPandas" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    # amortization: closed form — exactly one orders scan, no join
+    plan = physical_plan(
+        REGISTRY["finance_amortization_schedule"].fn(spark, sf_dir)
+    )
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    # hot/cold split: both paths are joins (broadcast for hot), and
+    # nothing degenerates to a cartesian
+    plan = physical_plan(
+        REGISTRY["join_hot_cold_split_equivalence"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # power iteration: the Gram pass is collected inside the builder,
+    # so the RETURNED plan must be a local table only — the iteration
+    # provably never re-enters the distributed plan
+    plan = physical_plan(
+        REGISTRY["emb_power_iteration_top_eigen"].fn(spark, sf_dir)
+    )
+    assert "parquet" not in plan, plan
+    # sliding-window rate limit: one hash partitioning on user_id,
+    # no unpartitioned (single-task) window
+    plan = physical_plan(
+        REGISTRY["events_sliding_window_rate_limit"].fn(spark, sf_dir)
+    )
+    assert "hashpartitioning(user_id" in plan, plan
