@@ -80,3 +80,42 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def pagerank_bounded(
+    edge_rows,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> dict:
+    """Power iteration on a COLLECTED edge list — the bounded-collect
+    contract for graphs whose node universe is a fixed dimension
+    (nations, regions, shards): the data-heavy work is the Spark-side
+    edge aggregation; the model that reaches the driver is O(dim^2)
+    rows BY CONSTRUCTION, and iterating it here costs zero Spark jobs
+    instead of (join + agg + checkpoint + 1-row collect) x rounds
+    (measured: 10 nation-graph rounds = ~2.5 s of pure job latency at
+    ANY scale factor). Same recurrence as :func:`pagerank`, same
+    dangling-mass conservation; use the distributed loop whenever the
+    node set grows with the data.
+
+    ``edge_rows``: iterable of rows/tuples with ``src, dst, w``
+    fields. Returns {node: rank}.
+    """
+    edges = [(r["src"], r["dst"], float(r["w"])) for r in edge_rows]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out_w: dict = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        in_mass = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            in_mass[d] += rank[s] * w / out_w[s]
+        distributed = sum(in_mass.values())
+        dangling = max(0.0, 1.0 - distributed)
+        base = (1.0 - damping) / n + damping * dangling / n
+        rank = {v: base + damping * in_mass[v] for v in nodes}
+    return rank

@@ -52,16 +52,19 @@ PR_ITERATIONS = 10
     """,
     description="Weighted PageRank (damping 0.85, 10 iterations) over "
     "the nation trade graph: edge cust-nation -> supp-nation weighted "
-    "by lineitem count. Iterative DataFrame power iteration "
-    "(operators/pagerank.py) — one join + one aggregation per round, "
-    "localCheckpoint-flattened lineage, 1-row dangling-mass transfer. "
+    "by lineitem count. The data-heavy work — the 5-way join + edge "
+    "aggregation — runs in Spark; the iteration itself runs on the "
+    "COLLECTED <=25x25 edge model under the bounded-collect contract "
+    "(operators/pagerank.py::pagerank_bounded — the node universe is "
+    "a fixed dimension, so 10 DataFrame rounds were pure job latency; "
+    "the generic distributed loop in the same module remains the path "
+    "for graphs that grow with the data, pytest-checked vs NumPy). "
     "Float fixpoints aren't bit-portable across engines, so the oracle "
     "pins exact structure (node/edge counts) and the query SELF-GRADES "
-    "the invariants (total mass == 1 within 1e-9, all ranks positive); "
-    "rank values are pytest-checked against a NumPy power iteration.",
+    "the invariants (total mass == 1 within 1e-9, all ranks positive).",
 )
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pagerank import pagerank
+    from ..operators.pagerank import pagerank_bounded
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -84,16 +87,25 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
-    ranks = pagerank(
-        edges, damping=PR_DAMPING, iterations=PR_ITERATIONS
+    edge_rows = edges.select(
+        "src", "dst", F.col("weight").alias("w")
+    ).collect()  # <= 25x25 rows by construction (nation dimension)
+    ranks = pagerank_bounded(
+        edge_rows, damping=PR_DAMPING, iterations=PR_ITERATIONS
     )
-    n_edges = edges.count()
-    return ranks.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.lit(n_edges).cast("bigint").alias("n_edges"),
-        F.lit(PR_ITERATIONS).cast("bigint").alias("iterations"),
-        (F.abs(F.sum("rank") - 1.0) < 1e-9).alias("mass_conserved"),
-        (F.min("rank") > 0.0).alias("ranks_positive"),
+    mass = sum(ranks.values())
+    return spark.createDataFrame(
+        [
+            (
+                len(ranks),
+                len(edge_rows),
+                PR_ITERATIONS,
+                abs(mass - 1.0) < 1e-9,
+                min(ranks.values()) > 0.0,
+            )
+        ],
+        "n_nodes long, n_edges long, iterations long, "
+        "mass_conserved boolean, ranks_positive boolean",
     )
 
 

@@ -484,61 +484,61 @@ HEADLINE = [
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
-# (round 5, sf0.1) plus the three queries the round-5 no-warmup tail
+# (round 6 trial, sf0.1) plus the three queries the round-5 no-warmup tail
 # flagged as possible regressions — all guaranteed a warm
 # steady-state measurement every round. Regenerate when the heavy
 # tail shifts: sorted(BENCH_DETAIL["queries"], key=-time)[:50].
 _HOT_GUARANTEED = [
-    "match_stable_assignment",
     "graph_sssp_khop_cheapest",
-    "graph_mst_boruvka",
     "dedup_method_agreement",
-    "timeseries_dtw_monthly",
-    "pipeline_refinery_capstone_v2",
     "sim_pq_adc_topk",
-    "basket_apriori_triples",
+    "timeseries_haar_wavelet_energy",
+    "pipeline_refinery_capstone_v2",
     "graph_pagerank_nations",
-    "dedup_containment_asymmetric",
-    "revenue_recognition_schedule",
     "graph_clustering_coefficient",
-    "cache_lru_hit_rate",
+    "graph_mst_boruvka",
+    "timeseries_dtw_monthly",
+    "ml_average_precision_exact",
     "attribution_markov_removal",
+    "streaming_token_bucket_quota",
+    "dedup_minhash_lsh_pairs",
+    "graph_triangle_count",
+    "graph_dag_critical_path",
+    "dedup_lsh_band_row_tradeoff",
+    "dedup_containment_asymmetric",
+    "emb_knn_distance_outliers",
     "approx_f2_moment_sketch",
     "graph_functional_cycle_structure",
-    "graph_dag_critical_path",
-    "search_prf_query_expansion",
-    "stat_mood_dispersion_test",
-    "emb_knn_distance_outliers",
-    "ml_adaboost_two_round_stumps",
-    "dq_foreign_key_inference",
-    "cf_recommendation_coverage",
-    "dedup_minhash_lsh_pairs",
-    "stat_kruskal_wallis_ranksums",
-    "graph_personalized_pagerank",
-    "layout_sort_order_rle_bakeoff",
-    "ml_roc_threshold_sweep",
-    "seq_lis_per_customer",
-    "dedup_minhash_estimator_error",
-    "dedup_threshold_yield_curve",
-    "dedup_shingle_size_sensitivity",
-    "multimodal_audio_pitch_autocorr",
-    "dedup_cross_source_matrix",
-    "emb_knn_label_accuracy",
-    "ml_capstone_nb_threshold_fairness",
-    "emb_jl_projection_distortion",
+    "dedup_ngram_jaccard_pairs",
     "scheduling_knapsack_exact",
-    "graph_triangle_count",
-    "selection_greedy_max_coverage",
-    "scheduling_weighted_interval_dp",
-    "join_bucketed_colocated",
-    "geo_dbscan_grid_clusters",
-    "stats_histogram_selectivity_audit",
-    "ref_ingest_roundtrip",
-    "stat_spearman_rank_correlation",
-    "graph_hits_bipartite_counts",
+    "dq_foreign_key_inference",
     "graph_kcore_rounds",
-    "events_markov_stationary_power",
-    "cf_item_item_topk",
+    "dedup_minhash_estimator_error",
+    "revenue_recognition_schedule",
+    "cache_lru_hit_rate",
+    "layout_sort_order_rle_bakeoff",
+    "streaming_scd2_upsert",
+    "search_prf_query_expansion",
+    "ref_ingest_roundtrip",
+    "dedup_threshold_yield_curve",
+    "emb_knn_label_accuracy",
+    "graph_two_hop_reach_panel",
+    "ml_capstone_nb_threshold_fairness",
+    "stat_kruskal_wallis_ranksums",
+    "geo_dbscan_grid_clusters",
+    "multimodal_audio_pitch_autocorr",
+    "sim_ivf_ann_topk",
+    "approx_hdr_histogram_quantile_audit",
+    "inventory_leadtime_demand_convolution",
+    "fuzzy_name_matches",
+    "join_bucketed_colocated",
+    "scheduling_weighted_interval_dp",
+    "multimodal_audio_zero_crossings",
+    "dedup_cross_source_matrix",
+    "cf_recommendation_coverage",
+    "encoding_huffman_5symbol_exact",
+    "finance_stepdown_allocation",
+    "graph_triangle_sample_estimator",
     "events_ewma_daily_value",
     "money_allocation_largest_remainder",
     "top_event_paths",
