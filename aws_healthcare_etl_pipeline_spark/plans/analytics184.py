@@ -403,22 +403,21 @@ def dedup_lsh_band_row_tradeoff(
     from ..functions.text import normalize_text, shingles_from_tokens, tokens
     from ..operators.parallelism import widen
 
-    corpus = widen(perturbed_corpus(spark, sf_dir), "doc_id").localCheckpoint(
-        eager=False
-    )
-    sh = corpus.select(
+    # count first (column-pruned corpus pass), shingle ONLY the panel
+    # — see dedup_minhash_estimator_error for the sf3 rationale
+    corpus_n = perturbed_corpus(spark, sf_dir).count()
+    panel_mod = max(1, corpus_n // LSH_PANEL)
+    panel_docs = widen(
+        perturbed_corpus(spark, sf_dir).filter(
+            F.col("doc_id") % panel_mod == 0
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=False)
+    sh = panel_docs.select(
         "doc_id",
         F.array_distinct(
             shingles_from_tokens(tokens(normalize_text(F.col("text"))), 3)
         ).alias("shingles"),
-    )
-    pm = sh.agg(
-        F.greatest(
-            F.floor(F.count(F.lit(1)) / F.lit(float(LSH_PANEL))).cast(
-                "bigint"
-            ),
-            F.lit(1).cast("bigint"),
-        ).alias("panel_mod")
     )
     mh_num = lambda k, s: F.conv(  # noqa: E731
         F.substring(
@@ -434,9 +433,7 @@ def dedup_lsh_band_row_tradeoff(
         ),
     )
     panel = (
-        sh.crossJoin(F.broadcast(pm))
-        .filter(F.col("doc_id") % F.col("panel_mod") == 0)
-        .select("doc_id", sig.alias("sig"))
+        sh.select("doc_id", sig.alias("sig"))
         # barrier: signatures once per doc, never per band pair
         .localCheckpoint(eager=False)
     )

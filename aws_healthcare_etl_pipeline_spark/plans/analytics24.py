@@ -277,29 +277,32 @@ def dedup_minhash_estimator_error(
     from ..operators.parallelism import widen
     from .llm_dedup import perturbed_corpus
 
-    # shingling is per-row CPU on a 1-2 split parquet scan — widen AND
-    # checkpoint so the projection cannot collapse back below the
-    # exchange (plain projections push through a round-robin
-    # repartition; measured 31s serialized on 2 tasks at sf0.1, ~2s
-    # on 32 after the barrier)
-    corpus = widen(perturbed_corpus(spark, sf_dir), "doc_id").localCheckpoint(
-        eager=False
-    )
+    # The panel is the only thing that needs SHINGLES; the corpus is
+    # only needed for its COUNT (to derive panel_mod). Counting first
+    # lets column pruning reduce the corpus pass to a doc_id scan,
+    # and shingling/tokenizing then touches ~PANEL docs instead of
+    # the whole corpus — the linear term that dominated the sf3 sweep
+    # (e(1->3) was 0.90 because every doc was tokenized to sample
+    # 300). panel_mod reaching the driver is a 1-number bounded
+    # collect, same contract as the dangling-mass transfer.
+    corpus_n = perturbed_corpus(spark, sf_dir).count()
+    panel_mod = max(1, corpus_n // MH_EVAL_PANEL)
+    # widen AND checkpoint the panel slice so the shingle projection
+    # cannot collapse back below the exchange (plain projections push
+    # through a round-robin repartition — the r2 lesson)
+    panel_docs = widen(
+        perturbed_corpus(spark, sf_dir).filter(
+            F.col("doc_id") % panel_mod == 0
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=False)
     # no emptiness filter: shingles_from_tokens emits >= 1 (possibly
     # truncated) shingle for every document by contract
-    sh = corpus.select(
+    sh = panel_docs.select(
         "doc_id",
         F.array_distinct(
             shingles_from_tokens(tokens(normalize_text(F.col("text"))), 3)
         ).alias("shingles"),
-    )
-    pm = sh.agg(
-        F.greatest(
-            F.floor(F.count(F.lit(1)) / F.lit(float(MH_EVAL_PANEL))).cast(
-                "bigint"
-            ),
-            F.lit(1).cast("bigint"),
-        ).alias("panel_mod")
     )
     mh_num = lambda k, s: F.conv(  # noqa: E731
         F.substring(
@@ -315,12 +318,10 @@ def dedup_minhash_estimator_error(
         ),
     )
     panel = (
-        sh.crossJoin(F.broadcast(pm))
-        .filter(F.col("doc_id") % F.col("panel_mod") == 0)
-        .select("doc_id", "shingles", sig.alias("sig"))
+        sh.select("doc_id", "shingles", sig.alias("sig"))
         # materialization barrier: without it CollapseProject inlines
         # the 32-hash signature expression into BOTH sides of the pair
-    # join and recomputes it PER PAIR (measured 123s at sf0.1 — the
+        # join and recomputes it PER PAIR (measured 123s at sf0.1 — the
         # per-element lambda re-evaluation trap, SCALE.md "Planner-
         # level traps"); checkpointed, signatures compute once per doc
         .localCheckpoint(eager=False)
