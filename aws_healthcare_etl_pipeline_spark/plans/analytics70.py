@@ -158,6 +158,10 @@ def graph_sssp_khop_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na", "node", F.lit(0).cast("long").alias("dist")
     )
     for _ in range(_SSSP_HOPS):
+        # no broadcast hint on edges: the co-supply edge set grows
+        # with per-part supplier counts (measured 5% win at sf0.1,
+        # not worth pinning a build side that AQE should size at
+        # runtime — a forced broadcast is the 100x footgun here)
         relaxed = (
             dist.join(edges, dist.node == edges.a)
             .select("na", F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
