@@ -169,14 +169,25 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"count(distinct ok) div {_APRIORI_DIV}"),
         ).alias("s")
     )
-    # L2: frequent pairs
+    # L2: frequent pairs. The in-order pair stream is needed TWICE
+    # (L2 support counting here, the candidate-restricted extension
+    # below) — checkpoint it once instead of re-running the self-join
+    # per consumer.
     a, b2 = ob.alias("a"), ob.alias("b")
-    pairs = (
+    pair_stream = (
         a.join(
             b2,
             (F.col("b.ok") == F.col("a.ok")) & (F.col("b.b") > F.col("a.b")),
         )
-        .groupBy(F.col("a.b").alias("x"), F.col("b.b").alias("y"))
+        .select(
+            F.col("a.ok").alias("pok"),
+            F.col("a.b").alias("ba"),
+            F.col("b.b").alias("bb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        pair_stream.groupBy(F.col("ba").alias("x"), F.col("bb").alias("y"))
         .agg(F.count(F.lit(1)).alias("sup2"))
         .crossJoin(F.broadcast(thr))
         .filter(F.col("sup2") >= F.col("s"))
@@ -203,21 +214,10 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # count support of candidates only: in-order pairs restricted to L2,
     # extended by a third item, restricted to C3
-    op = (
-        a.join(
-            b2,
-            (F.col("b.ok") == F.col("a.ok")) & (F.col("b.b") > F.col("a.b")),
-        )
-        .select(
-            F.col("a.ok").alias("pok"),
-            F.col("a.b").alias("ba"),
-            F.col("b.b").alias("bb"),
-        )
-        .join(
-            l2,
-            (F.col("x") == F.col("ba")) & (F.col("y") == F.col("bb")),
-            "left_semi",
-        )
+    op = pair_stream.join(
+        l2,
+        (F.col("x") == F.col("ba")) & (F.col("y") == F.col("bb")),
+        "left_semi",
     )
     c3 = ob.alias("c")
     trip = (
