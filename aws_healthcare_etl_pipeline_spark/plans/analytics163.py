@@ -104,24 +104,47 @@ def dedup_shingle_size_sensitivity(
             "pos", "tok"
         ),
     ).localCheckpoint(eager=False)  # feeds one lane per k
+    # ONE window pass builds every k's shingle in parallel columns
+    # (lead(tok, j) reuses the same per-doc sort; the previous
+    # one-window-per-k version sorted the token stream len(KS) times
+    # — 3 redundant window sorts over the whole corpus), then a
+    # struct-array explode stacks the lanes. concat null-propagates,
+    # so positions within k-1 of the doc end drop via isNotNull as
+    # before — semantics identical, oracle unchanged.
     w = Window.partitionBy("doc_id").orderBy("pos")
-    lanes = []
+    max_k = max(_SHINGLE_KS)
+    # window expressions cannot live inside Generate — project the
+    # lead columns first (one window pass), explode plain columns
+    base = toks.select(
+        "doc_id",
+        F.col("tok").alias("l0"),
+        *[
+            F.lead("tok", j).over(w).alias(f"l{j}")
+            for j in range(1, max_k)
+        ],
+    )
+    sh_cols = {}
     for k in _SHINGLE_KS:
-        parts = [
-            F.lead("tok", j).over(w) if j else F.col("tok")
-            for j in range(k)
-        ]
-        sh = parts[0]
-        for pc in parts[1:]:
-            sh = F.concat(sh, F.lit(" "), pc)
-        lanes.append(
-            toks.select(
-                F.lit(k).alias("k"), "doc_id", sh.alias("sh")
-            ).where(F.col("sh").isNotNull())
-        )
-    shingles = lanes[0]
-    for ln in lanes[1:]:
-        shingles = shingles.unionAll(ln)
+        sh = F.col("l0")
+        for j in range(1, k):
+            sh = F.concat(sh, F.lit(" "), F.col(f"l{j}"))
+        sh_cols[k] = sh
+    stacked = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), sh_cols[k].alias("sh")
+                    )
+                    for k in _SHINGLE_KS
+                ]
+            )
+        ).alias("lane"),
+    )
+    shingles = stacked.select(
+        "lane.k", "doc_id", "lane.sh"
+    ).where(F.col("sh").isNotNull())
     sets = shingles.distinct().localCheckpoint(
         eager=False
     )  # sizes + both join sides
