@@ -34,6 +34,8 @@ normalization.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -149,6 +151,13 @@ def emb_power_iteration_top_eigen(
         for j in range(i, PI_DIMS + 1)
     ]
     row = q.agg(*gram_aggs).collect()[0]
+    if all(row[f"g{i}_{j}"] is None for i in range(1, PI_DIMS + 1)
+           for j in range(i, PI_DIMS + 1)):
+        # Empty embeddings table: every SUM is NULL. Return an empty result
+        # with the output schema instead of raising TypeError below.
+        return spark.createDataFrame(
+            [], "lam double, v1 double, v2 double, v3 double"
+        )
 
     def g(i: int, j: int) -> float:
         return float(row[f"g{min(i, j)}_{max(i, j)}"])
@@ -164,7 +173,7 @@ def emb_power_iteration_top_eigen(
         nrm_acc = 0.0
         for i in range(PI_DIMS):
             nrm_acc = nrm_acc + w[i] * w[i]
-        nrm = nrm_acc ** 0.5  # IEEE sqrt, same as SQL SQRT
+        nrm = math.sqrt(nrm_acc)  # IEEE-correct sqrt, matches SQL SQRT on every libm
         v = [wi / nrm for wi in w]
     lam = 0.0
     for i in range(1, PI_DIMS + 1):

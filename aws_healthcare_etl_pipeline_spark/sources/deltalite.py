@@ -18,11 +18,14 @@ ACID story (single-writer):
   - data files are written first and are INVISIBLE until a manifest
     references them — a crash mid-write leaks orphan files but never
     exposes partial data (readers of version N see exactly version N);
-  - the manifest is written via write-temp + atomic ``os.rename`` so a
-    version file is never observable half-written;
-  - version numbers are dense integers; ``os.open(O_CREAT|O_EXCL)``
-    on the renamed target would extend this to optimistic multi-writer
-    concurrency (not needed for the single-driver tests here).
+  - the manifest is written to a temp file and PUBLISHED via
+    ``os.link`` to the version path: the link fails loudly with
+    ``FileExistsError`` if another writer already committed that
+    version (optimistic concurrency — losers retry at version+1
+    rather than silently clobbering), and the linked file is never
+    observable half-written. Requires a filesystem with hard-link
+    support (any POSIX local/NFS fs; not FAT/exotic object-store
+    mounts — those would need an O_EXCL-create + rename fallback).
 
 Time travel = read any old manifest. MERGE is copy-on-write: the new
 snapshot rewrites matched rows and appends new ones; at 100 TB the

@@ -631,8 +631,13 @@ def main() -> None:
             single_run_tail += 1
             if forced and name in warm_set:
                 budget_forced += 1
+        # "forced_cold" means a WARM-SET query was degraded by the budget
+        # guard; by-design cold-tier queries stay "cold" regardless of
+        # elapsed time (they ran exactly as planned).
         tiers[name] = (
-            "warm" if warm_q else ("forced_cold" if forced else "cold")
+            "warm"
+            if warm_q
+            else ("forced_cold" if (forced and name in warm_set) else "cold")
         )
         if warm_q:
             spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -80,9 +80,9 @@ for i, (name, fn) in enumerate(qs.items()):
             if problems:
                 rec["err"] = "; ".join(problems[:3])
         else:
-            # rows-only check (no SQL-expressible oracle)
-            rec["rows_match"] = rec["schema_match"] = True
-            rec["hash_match"] = None
+            # rows-only check (no SQL-expressible oracle): record nulls so
+            # the artifact distinguishes "ran without error" from "matched"
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
     except Exception as e:  # noqa: BLE001 — record, don't abort the cert
         rec["err"] = f"{type(e).__name__}: {e}"[:500]
     ok = rec["hash_match"] in (True, None) and rec["err"] is None
