@@ -454,16 +454,36 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Constant-density campaign sampling: the campaign set and the point set
+# both grow with SF while the date domain is FIXED (~7 years), so a fixed
+# 1/500 sampling modulus makes overlap pairs grow quadratically (measured:
+# SCALE3 exp_sf1_sf3 = 1.11). The modulus scales with orders count on the
+# same integer CASE ladder pattern as geo_grid_radius_join — constant at
+# small SF (<=150k orders covers sf0.001/0.01/0.1, so oracle hashes and
+# bench continuity are unchanged), then linear so the campaign COUNT stays
+# ~constant and total pairs grow O(N).
+_CAMPAIGN_LADDER = [(150_000, 500), (600_000, 2_000), (2_400_000, 8_000)]
+_CAMPAIGN_MOD_MAX = 32_000
+
+
+def _campaign_mod_case() -> str:
+    cases = " ".join(f"WHEN n <= {lim} THEN {m}" for lim, m in _CAMPAIGN_LADDER)
+    return f"CASE {cases} ELSE {_CAMPAIGN_MOD_MAX} END"
+
+
 @query(
     "interval_join_campaign_orders",
-    oracle="""
-        WITH campaigns AS (
+    oracle=f"""
+        WITH msel AS (
+            SELECT {_campaign_mod_case()} AS m
+            FROM (SELECT COUNT(*) AS n FROM orders)
+        ), campaigns AS (
             SELECT o_orderkey AS campaign_id,
                    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
                        AS start_day,
                    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) + 14
                        AS end_day
-            FROM orders WHERE o_orderkey % 500 = 0
+            FROM orders, msel WHERE o_orderkey % msel.m = 0
         ), pts AS (
             SELECT o_orderkey,
                    CAST(o_totalprice AS DECIMAL(15,2)) AS price,
@@ -485,17 +505,29 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     "points land in one bucket, each 14-day campaign window "
     "replicates into <=2 buckets, and the overlap predicate becomes "
     "a residual on a plain hash join — O(points + matches), not "
-    "O(points x intervals). tests/test_plans.py pins the NLJ-free "
-    "plan; the oracle is the straight theta join.",
+    "O(points x intervals). The campaign-sampling modulus scales "
+    "with orders count on an integer CASE ladder (constant density: "
+    "a fixed modulus under a fixed date domain makes pairs grow "
+    "quadratically — exp 1.11 at sf3 before the ladder). "
+    "tests/test_plans.py pins the NLJ-free plan; the oracle is the "
+    "straight theta join with the same ladder.",
 )
 def interval_join_campaign_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.intervals import bucketed_point_interval_join
 
     orders = load_table(spark, sf_dir, "orders")
+    # modulus from a count on the UNPROJECTED source (column-pruned footer
+    # scan); a 1-number bounded collect, same contract as the panel pattern
+    n_orders = orders.count()
+    mod = _CAMPAIGN_MOD_MAX
+    for lim, m in _CAMPAIGN_LADDER:
+        if n_orders <= lim:
+            mod = m
+            break
     epoch_day = F.datediff(
         F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
     ).cast("long")
-    campaigns = orders.filter(F.col("o_orderkey") % 500 == 0).select(
+    campaigns = orders.filter(F.col("o_orderkey") % mod == 0).select(
         F.col("o_orderkey").alias("campaign_id"),
         epoch_day.alias("start_day"),
         (epoch_day + 14).alias("end_day"),

@@ -484,64 +484,66 @@ HEADLINE = [
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
-# (round 6 trial, sf0.1) plus the three queries the round-5 no-warmup tail
-# flagged as possible regressions — all guaranteed a warm
-# steady-state measurement every round. Regenerate when the heavy
-# tail shifts: sorted(BENCH_DETAIL["queries"], key=-time)[:50].
+# (round 6 close, sf0.1) plus the regression watch list (the r6 verdict's
+# sim_pq_adc_topk flag, the r5 no-warmup tail trio, and the interval-join
+# ladder fix) — all guaranteed a warm steady-state measurement every
+# round. Regenerate when the heavy tail shifts:
+# sorted(BENCH_DETAIL["queries"], key=-time)[:50].
 _HOT_GUARANTEED = [
     "graph_sssp_khop_cheapest",
-    "dedup_method_agreement",
     "sim_pq_adc_topk",
-    "timeseries_haar_wavelet_energy",
+    "basket_apriori_triples",
     "pipeline_refinery_capstone_v2",
-    "graph_pagerank_nations",
-    "graph_clustering_coefficient",
+    "dedup_method_agreement",
+    "attribution_markov_removal",
     "graph_mst_boruvka",
     "timeseries_dtw_monthly",
-    "ml_average_precision_exact",
-    "attribution_markov_removal",
-    "streaming_token_bucket_quota",
-    "dedup_minhash_lsh_pairs",
+    "graph_clustering_coefficient",
     "graph_triangle_count",
     "graph_dag_critical_path",
-    "dedup_lsh_band_row_tradeoff",
+    "dedup_shingle_size_sensitivity",
     "dedup_containment_asymmetric",
     "emb_knn_distance_outliers",
-    "approx_f2_moment_sketch",
-    "graph_functional_cycle_structure",
-    "dedup_ngram_jaccard_pairs",
-    "scheduling_knapsack_exact",
-    "dq_foreign_key_inference",
-    "graph_kcore_rounds",
-    "dedup_minhash_estimator_error",
-    "revenue_recognition_schedule",
-    "cache_lru_hit_rate",
+    "dedup_cross_source_matrix",
+    "stat_mood_dispersion_test",
+    "cf_item_item_topk",
+    "emb_jl_projection_distortion",
+    "dedup_minhash_lsh_pairs",
+    "seq_lis_per_customer",
+    "stat_spearman_rank_correlation",
+    "graph_personalized_pagerank",
     "layout_sort_order_rle_bakeoff",
+    "scheduling_knapsack_exact",
+    "events_markov_stationary_power",
+    "ml_capstone_nb_threshold_fairness",
+    "graph_hits_bipartite_counts",
+    "graph_functional_cycle_structure",
     "streaming_scd2_upsert",
+    "approx_f2_moment_sketch",
+    "bandit_epsilon_greedy_replay",
+    "encoding_huffman_5symbol_exact",
     "search_prf_query_expansion",
     "ref_ingest_roundtrip",
-    "dedup_threshold_yield_curve",
-    "emb_knn_label_accuracy",
-    "graph_two_hop_reach_panel",
-    "ml_capstone_nb_threshold_fairness",
-    "stat_kruskal_wallis_ranksums",
-    "geo_dbscan_grid_clusters",
-    "multimodal_audio_pitch_autocorr",
-    "sim_ivf_ann_topk",
-    "approx_hdr_histogram_quantile_audit",
-    "inventory_leadtime_demand_convolution",
-    "fuzzy_name_matches",
-    "join_bucketed_colocated",
-    "scheduling_weighted_interval_dp",
-    "multimodal_audio_zero_crossings",
-    "dedup_cross_source_matrix",
-    "cf_recommendation_coverage",
-    "encoding_huffman_5symbol_exact",
-    "finance_stepdown_allocation",
-    "graph_triangle_sample_estimator",
+    "ml_roc_threshold_sweep",
+    "revenue_recognition_schedule",
+    "dq_foreign_key_inference",
+    "selection_greedy_max_coverage",
+    "ml_cost_optimal_threshold",
+    "rank_kendall_tau_nations",
+    "cache_lru_hit_rate",
+    "dedup_ngram_jaccard_pairs",
+    "stats_histogram_selectivity_audit",
+    "graph_rich_club_permille",
+    "graph_kcore_rounds",
+    "search_rrf_rank_fusion",
+    "election_irv_rounds",
+    "inventory_demand_quantiles_counting",
+    "emb_triplet_margin_audit",
+    "dq_correlation_matrix",
     "events_ewma_daily_value",
     "money_allocation_largest_remainder",
     "top_event_paths",
+    "interval_join_campaign_orders",
 ]
 
 # Rotating warm core: a deterministic _CORE_SIZE-query window over
@@ -549,7 +551,44 @@ _HOT_GUARANTEED = [
 # headline query gets a warm min-of-2 measurement every ~5 rounds
 # without the full suite ever exceeding the wall budget.
 _CORE_SIZE = 75
-_CORE_ROTATION = 6  # bump per round
+_CORE_ROTATION = 7  # bump per round
+
+# Always-warm CANARY set (round 7): a FIXED, stratified ~24-query panel
+# (equi/bucketed/interval/fuzzy joins, windows, exact+fuzzy dedup,
+# brute/IVF/PQ ANN, iterative graph, stateful streaming, wide agg,
+# multi-stage capstones) that runs FIRST every round with warmup +
+# min-of-N regardless of the rotation, tagged "canary" in BENCH_DETAIL
+# tiers. This is the only set whose round-over-round per-query deltas
+# are tier-stable by construction — compare r(N) vs r(N-1) within this
+# tier; everything else compares within-tier only. Do NOT rotate or
+# resort this list: its value is that membership never changes.
+_CANARY = [
+    "q1_pricing_summary",
+    "left_join_order_counts",
+    "join_brand_supplier_volume",
+    "join_bucketed_colocated",
+    "interval_join_campaign_orders",
+    "fuzzy_name_matches",
+    "top_event_paths",
+    "events_ewma_daily_value",
+    "window_ntile_remainder_semantics",
+    "dedup_passage_level",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_method_agreement",
+    "sim_bruteforce_topk",
+    "sim_ivf_ann_topk",
+    "sim_pq_adc_topk",
+    "emb_knn_distance_outliers",
+    "graph_sssp_khop_cheapest",
+    "graph_mst_boruvka",
+    "graph_pagerank_nations",
+    "streaming_token_bucket_quota",
+    "streaming_scd2_upsert",
+    "dq_correlation_matrix",
+    "basket_apriori_triples",
+    "pipeline_refinery_capstone_v2",
+]
 
 
 def main() -> None:
@@ -608,16 +647,22 @@ def main() -> None:
     rotating = {
         HEADLINE[(core_lo + i) % n] for i in range(min(_CORE_SIZE, n))
     }
+    canaries = [q for q in _CANARY if q in set(HEADLINE)]
     warm_set = (
-        (set(_HOT_GUARANTEED) | rotating) & set(HEADLINE)
+        (set(_HOT_GUARANTEED) | rotating | set(canaries)) & set(HEADLINE)
         if warmup
         else set()
     )
     # warm tier first: if the budget guard ever fires, it sheds the
     # cold tier's single runs, not the steady-state measurements
-    ordered = [q for q in HEADLINE if q in warm_set] + [
-        q for q in HEADLINE if q not in warm_set
-    ]
+    # canaries first (never budget-degraded), then the rest of the warm
+    # tier, then the cold tier
+    canary_set = set(canaries) if warmup else set()
+    ordered = (
+        canaries * (1 if warmup else 0)
+        + [q for q in HEADLINE if q in warm_set and q not in canary_set]
+        + [q for q in HEADLINE if q not in warm_set]
+    )
     bench_t0 = time.perf_counter()
     single_run_tail = 0
     budget_forced = 0
@@ -635,7 +680,7 @@ def main() -> None:
         # guard; by-design cold-tier queries stay "cold" regardless of
         # elapsed time (they ran exactly as planned).
         tiers[name] = (
-            "warm"
+            ("canary" if name in canary_set else "warm")
             if warm_q
             else ("forced_cold" if (forced and name in warm_set) else "cold")
         )
@@ -663,6 +708,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "tiers": tiers,
+        "canary": {q: timings[q] for q in canaries if q in timings},
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -687,6 +733,7 @@ def main() -> None:
         "warm_tier": len(timings) - single_run_tail,
         "single_run_tail": single_run_tail,
         "budget_forced": budget_forced,
+        "canary_n": len([q for q in canaries if q in timings]),
         "detail": "BENCH_DETAIL.json",
     }
     sys.stdout.flush()
