@@ -136,6 +136,24 @@ _VERIFICATION_PRIORITY = [
     "stats_cusum_arl_calibration",
     "stats_median_ci_orderstat",
     "stats_ipf_raking",
+    # --- wave-211 (round 7): never driver-checked, behind the window ---
+    "join_bloom_prefilter_equivalence",
+    "approx_count_sketch_signed",
+    "anomaly_hbos_bincount_topk",
+    "window_ignore_nulls_battery",
+    "window_percent_rank_cume_battery",
+    "stat_wilcoxon_signed_rank",
+    "finance_progressive_tax_brackets",
+    "sched_edf_feasibility_audit",
+    "dist_two_choice_load_audit",
+    "eval_pass_at_k_estimator",
+    "graph_resource_allocation_linkpred",
+    "dq_missingness_pattern_mining",
+    "seq_viterbi_integer_decode",
+    "inventory_ss_policy_replay",
+    "seq_lcs_monthly_baskets",
+    "rank_elo_lut_replay",
+    "text_textrank_keywords",
     # --- remaining never-driver-checked (257), by cost desc ---
     "ml_nb_learning_curve",
     "graph_triangle_sample_estimator",

@@ -481,6 +481,24 @@ HEADLINE = [
     "graph_avg_neighbor_degree",
     "join_hot_cold_split_equivalence",
     "multimodal_audio_gain_normalize",
+    # round 7 additions: wave 211
+    "join_bloom_prefilter_equivalence",
+    "approx_count_sketch_signed",
+    "anomaly_hbos_bincount_topk",
+    "window_ignore_nulls_battery",
+    "window_percent_rank_cume_battery",
+    "stat_wilcoxon_signed_rank",
+    "finance_progressive_tax_brackets",
+    "sched_edf_feasibility_audit",
+    "dist_two_choice_load_audit",
+    "eval_pass_at_k_estimator",
+    "graph_resource_allocation_linkpred",
+    "dq_missingness_pattern_mining",
+    "seq_viterbi_integer_decode",
+    "inventory_ss_policy_replay",
+    "seq_lcs_monthly_baskets",
+    "rank_elo_lut_replay",
+    "text_textrank_keywords",
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
