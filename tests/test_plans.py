@@ -804,3 +804,60 @@ def test_r6_wave210_shapes(spark, sf_dir):
         REGISTRY["events_sliding_window_rate_limit"].fn(spark, sf_dir)
     )
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_wave211_plan_pins(spark, sf_dir):
+    """Load-bearing physical-plan shapes for the wave-211 operators."""
+    # bloom prefilter: the equivalence proof's plain semi join must be a
+    # broadcast semi (dimension side tiny), never a shuffle of the fact
+    plan = physical_plan(
+        REGISTRY["join_bloom_prefilter_equivalence"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    # HBOS: deterministic top-15 must be TakeOrderedAndProject (rank
+    # filter pushed into the sort), never a full global sort
+    plan = physical_plan(
+        REGISTRY["anomaly_hbos_bincount_topk"].fn(spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # pass@k: one lineitem scan feeds the window + both aggregations
+    plan = physical_plan(
+        REGISTRY["eval_pass_at_k_estimator"].fn(spark, sf_dir)
+    )
+    assert plan.count("lineitem.parquet") == 1, plan
+    # LCS: the 256-mask enumeration is a Generate (explode), not any
+    # form of cartesian/nested-loop join
+    plan = physical_plan(
+        REGISTRY["seq_lcs_monthly_baskets"].fn(spark, sf_dir)
+    )
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    # Viterbi: the fold is the partition-wise keyed pandas scan — one
+    # MapInPandas above a hash partitioning on the user key
+    plan = physical_plan(
+        REGISTRY["seq_viterbi_integer_decode"].fn(spark, sf_dir)
+    )
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning(u" in plan, plan
+    assert plan.count("events.parquet") == 1, plan
+    # (s,S) replay: same contract on the part key
+    plan = physical_plan(
+        REGISTRY["inventory_ss_policy_replay"].fn(spark, sf_dir)
+    )
+    assert "MapInPandas" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    # Elo / TextRank: the sequential model is collected inside the
+    # builder — the RETURNED plan must be a local table only
+    for name in ("rank_elo_lut_replay", "text_textrank_keywords"):
+        plan = physical_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "parquet" not in plan, (name, plan)
+    # missingness mining: ONE map-side aggregation pass — a single
+    # orders scan, no self-join
+    plan = physical_plan(
+        REGISTRY["dq_missingness_pattern_mining"].fn(spark, sf_dir)
+    )
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Join" not in plan, plan
