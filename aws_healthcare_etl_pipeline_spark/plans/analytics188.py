@@ -21,6 +21,13 @@ from ..sources.tables import load_table
 from .registry import dec, query
 
 
+def _nib5_parity_sql(expr: str) -> str:
+    """DuckDB: parity of the 5th hex nibble of md5(expr)."""
+    return (f"((strpos('0123456789abcdef', substr(md5({expr}), 5, 1)) - 1)"
+            " % 2)"
+    )
+
+
 def _hex4_sql(expr: str) -> str:
     """DuckDB: integer value of the first 4 hex nibbles of md5(expr)."""
     h = f"md5({expr})"
@@ -231,11 +238,11 @@ _CS_PANEL = 20
         WITH cells AS (
             SELECT r,
                    ({_hex4_sql(
-                "'csb' || CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)"
+                "'cs' || CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)"
             )}) % {_CS_W} AS bucket,
-                   CAST(SUM(CASE WHEN ({_hex4_sql(
-                "'css' || CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)"
-            )}) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
+                   CAST(SUM(CASE WHEN ({_nib5_parity_sql(
+                "'cs' || CAST(r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)"
+            )}) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS val
             FROM lineitem CROSS JOIN (SELECT UNNEST(range(3)) AS r)
             GROUP BY 1, 2
         ), exact AS (
@@ -246,12 +253,12 @@ _CS_PANEL = 20
             ORDER BY exact_cnt DESC, k LIMIT {_CS_PANEL}
         ), ests AS (
             SELECT p.k, p.exact_cnt,
-                   CASE WHEN ({_hex4_sql(
-                "'css' || CAST(c.r AS VARCHAR) || ':' || CAST(p.k AS VARCHAR)"
-            )}) % 2 = 0 THEN c.val ELSE -c.val END AS est
+                   CASE WHEN ({_nib5_parity_sql(
+                "'cs' || CAST(c.r AS VARCHAR) || ':' || CAST(p.k AS VARCHAR)"
+            )}) = 0 THEN c.val ELSE -c.val END AS est
             FROM panel p JOIN cells c
               ON c.bucket = ({_hex4_sql(
-                "'csb' || CAST(c.r AS VARCHAR) || ':' || CAST(p.k AS VARCHAR)"
+                "'cs' || CAST(c.r AS VARCHAR) || ':' || CAST(p.k AS VARCHAR)"
             )}) % {_CS_W}
         ), med AS (
             SELECT k, exact_cnt,
@@ -270,7 +277,9 @@ _CS_PANEL = 20
     "a +-1 md5-derived sign so collisions cancel in expectation — the "
     "unbiased counterpart of Count-Min's always-overestimate, and the "
     "primitive inside feature-hashing and heavy-hitter pipelines. The "
-    "sketch build is one map-side explode (3x) plus one 192-cell "
+    "sketch build is one map-side explode (3x, ONE md5 digest per row "
+    "per hash row: bucket from nibbles 1-4, sign from nibble 5 — "
+    "subexpression elimination computes the digest once) plus one 192-cell "
     "aggregation — at 100 TB it is a single fact scan with a tiny "
     "combine, the whole point of sketching. Estimates (median-of-3 via "
     "the sum-max-min identity) are audited against exact counts for the "
@@ -280,40 +289,45 @@ def approx_count_sketch_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = load_table(spark, sf_dir, "lineitem")
     rs = F.explode(F.array(*[F.lit(r) for r in range(_CS_ROWS)])).alias("r")
 
-    def bucket(key: F.Column) -> F.Column:
-        return (
-            _hex4(
-                F.concat(
-                    F.lit("csb"),
-                    F.col("r").cast("string"),
-                    F.lit(":"),
-                    key.cast("string"),
-                )
+    def _digest(key: F.Column) -> F.Column:
+        # ONE md5 per (row, hash-row): bucket from nibbles 1-4, sign from
+        # nibble 5 — subexpression elimination computes the digest once
+        return F.md5(
+            F.concat(
+                F.lit("cs"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                key.cast("string"),
             )
-            % _CS_W
         )
+
+    def bucket(key: F.Column) -> F.Column:
+        h = _digest(key)
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % _CS_W
 
     def sign(key: F.Column) -> F.Column:
-        return F.when(
-            _hex4(
-                F.concat(
-                    F.lit("css"),
-                    F.col("r").cast("string"),
-                    F.lit(":"),
-                    key.cast("string"),
-                )
-            )
-            % 2
-            == 0,
-            F.lit(1),
-        ).otherwise(F.lit(-1))
+        h = _digest(key)
+        parity = F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2
+        return F.when(parity == 0, F.lit(1)).otherwise(F.lit(-1))
 
+    # project the digest ONCE (grouping and aggregate expressions live in
+    # different operators, so CSE alone cannot share the md5 across them)
     cells = (
         line.select(F.col("l_partkey"), rs)
-        .groupBy(
-            F.col("r"), bucket(F.col("l_partkey")).alias("bucket")
+        .select(F.col("r"), _digest(F.col("l_partkey")).alias("h"))
+        .select(
+            (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % _CS_W)
+            .alias("bucket_h"),
+            F.when(
+                F.conv(F.substring("h", 5, 1), 16, 10).cast("long") % 2 == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+            F.col("r"),
         )
-        .agg(F.sum(sign(F.col("l_partkey"))).cast("long").alias("val"))
+        .groupBy(F.col("r"), F.col("bucket_h").alias("bucket"))
+        .agg(F.sum("sgn").cast("long").alias("val"))
     )
     exact = line.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
