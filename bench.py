@@ -571,7 +571,7 @@ _HOT_GUARANTEED = [
 _CORE_SIZE = 75
 _CORE_ROTATION = 7  # bump per round
 
-# Always-warm CANARY set (round 7): a FIXED, stratified ~24-query panel
+# Always-warm CANARY set (round 7): a FIXED, stratified 27-query panel
 # (equi/bucketed/interval/fuzzy joins, windows, exact+fuzzy dedup,
 # brute/IVF/PQ ANN, iterative graph, stateful streaming, wide agg,
 # multi-stage capstones) that runs FIRST every round with warmup +
@@ -606,6 +606,8 @@ _CANARY = [
     "dq_correlation_matrix",
     "basket_apriori_triples",
     "pipeline_refinery_capstone_v2",
+    "timeseries_dtw_monthly",
+    "scheduling_knapsack_exact",
 ]
 
 
