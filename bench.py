@@ -688,6 +688,7 @@ def main() -> None:
     budget_forced = 0
     tiers: dict[str, str] = {}
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in ordered:
         spec = REGISTRY[name]
         forced = (time.perf_counter() - bench_t0) > budget * 0.8
@@ -712,6 +713,7 @@ def main() -> None:
             df = spec.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            raw_runs.setdefault(name, []).append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s [{tiers[name]}]", file=sys.stderr)
@@ -729,6 +731,9 @@ def main() -> None:
         "queries": timings,
         "tiers": tiers,
         "canary": {q: timings[q] for q in canaries if q in timings},
+        # every timed run (not just the min): makes in-suite noise —
+        # observed up to 2-3x on this shared box — diagnosable post hoc
+        "raw_runs": raw_runs,
         "sf": sf_val,
     }
     detail_path = os.path.join(
