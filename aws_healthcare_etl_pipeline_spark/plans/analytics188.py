@@ -557,10 +557,33 @@ def window_ignore_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------- percent_rank / cume_dist identity battery
 
 
+# Rank functions over a whole-partition window are an inherent
+# bounded-parallelism sort (cardinality(flag)=3 tasks, each growing with
+# N) — fine for a semantics battery, wrong to run on the full fact table
+# at scale. The battery therefore windows a FIXED-SIZE panel via the
+# orders-modulus CASE ladder (mod 1 through sf0.1, so small-SF oracle
+# hashes are unchanged); full-scale rank DERIVATION belongs to histogram
+# decomposition over the bounded quantity domain (see the counting-sort
+# grouped-quantiles lane).
+_PRC_LADDER = [(700_000, 1), (2_800_000, 4), (11_200_000, 16)]
+_PRC_MOD_MAX = 64
+
+
+def _prc_mod_case() -> str:
+    cases = " ".join(f"WHEN n <= {lim} THEN {m}" for lim, m in _PRC_LADDER)
+    return f"CASE {cases} ELSE {_PRC_MOD_MAX} END"
+
+
 @query(
     "window_percent_rank_cume_battery",
-    oracle="""
-        WITH ranked AS (
+    oracle=f"""
+        WITH msel AS (
+            SELECT {_prc_mod_case()} AS m
+            FROM (SELECT COUNT(*) AS n FROM lineitem)
+        ), panel AS (
+            SELECT l_returnflag, l_quantity
+            FROM lineitem, msel WHERE l_orderkey % msel.m = 0
+        ), ranked AS (
             SELECT l_returnflag AS flag,
                    PERCENT_RANK() OVER w AS pr,
                    CUME_DIST() OVER w AS cd,
@@ -570,7 +593,7 @@ def window_ignore_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY l_quantity
                                   RANGE BETWEEN UNBOUNDED PRECEDING
                                             AND CURRENT ROW) AS cnt_le
-            FROM lineitem
+            FROM panel
             WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
         )
         SELECT flag, CAST(MIN(n) AS BIGINT) AS n,
@@ -594,12 +617,25 @@ def window_ignore_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double values across engines — safe because each is a single IEEE "
     "division of small integers. One shuffle on the partition key; "
     "RANGE peer counting is the standard Spark WindowExec path, no "
-    "per-row Python anywhere.",
+    "per-row Python anywhere. Because a whole-partition rank window "
+    "has parallelism bounded by key cardinality, the battery runs on "
+    "a constant-size panel via the orders-modulus ladder (full rows "
+    "through sf0.1); deriving ranks AT scale is the histogram-"
+    "decomposition job, not a window's.",
 )
 def window_percent_rank_cume_battery(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    line = load_table(spark, sf_dir, "lineitem")
+    full = load_table(spark, sf_dir, "lineitem")
+    n_rows = full.count()  # column-pruned footer count (panel pattern)
+    mod = _PRC_MOD_MAX
+    for lim, m in _PRC_LADDER:
+        if n_rows <= lim:
+            mod = m
+            break
+    line = full.filter(F.col("l_orderkey") % mod == 0).select(
+        "l_returnflag", "l_quantity"
+    )
     w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     wpart = Window.partitionBy("l_returnflag")
     wrange = (
