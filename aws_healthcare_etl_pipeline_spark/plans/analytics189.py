@@ -318,6 +318,15 @@ _LCS_K = 8  # basket size; 2^8 masks enumerate every subsequence
             SELECT nation, ym,
                    list_transform(a, x -> nullif(list_position(b, x), 0) - 1) AS p
             FROM pairs WHERE a IS NOT NULL
+        ), withnm AS (
+            -- bitmask of NON-NULL positions: only submasks of nm can be
+            -- valid, which kills nearly all of the 256 masks before any
+            -- per-mask list work (typically 0-2 matches -> 1-4 masks)
+            SELECT nation, ym, p,
+                   CAST(list_sum(list_transform(range(0, {_LCS_K}),
+                       i -> CASE WHEN p[i + 1] IS NULL THEN 0
+                            ELSE 1 << i END)) AS BIGINT) AS nm
+            FROM pos
         ), masks AS (
             SELECT m, list_filter(range(0, {_LCS_K}),
                                   i -> ((m >> i) & 1) = 1) AS bits
@@ -325,15 +334,19 @@ _LCS_K = 8  # basket size; 2^8 masks enumerate every subsequence
         ), cand AS (
             SELECT nation, ym, m,
                    list_transform(bits, i -> p[i + 1]) AS sel
-            FROM pos CROSS JOIN masks
-        ), scored AS (
+            FROM withnm CROSS JOIN masks
+            WHERE (m & (255 - nm)) = 0
+        ), scored0 AS (
             SELECT nation, ym,
-                   MAX(CASE WHEN len(list_filter(sel, x -> x IS NULL)) = 0
-                                 AND sel = list_sort(sel)
+                   MAX(CASE WHEN sel = list_sort(sel)
                                  AND len(list_distinct(sel)) = len(sel)
                             THEN bit_count(CAST(m AS BIGINT))
                             ELSE 0 END) AS lcs
             FROM cand GROUP BY nation, ym
+        ), scored AS (
+            -- the m=0 mask always survives the prefilter, so every pair
+            -- still has a row; COALESCE guards the impossible empty case
+            SELECT nation, ym, COALESCE(lcs, 0) AS lcs FROM scored0
         )
         SELECT CAST(nation AS BIGINT) AS nation,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -404,28 +417,45 @@ def seq_lcs_monthly_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT))"
         ).alias("p"),
     )
-    masked = pos.select(
+    withnm = pos.select(
         "nation",
         "ym",
-        F.explode(F.expr("sequence(0, 255)")).alias("m"),
         "p",
-    ).select(
-        "nation",
-        "ym",
-        "m",
+        # bitmask of NON-NULL positions — only submasks of nm can be
+        # valid, so the integer prefilter below drops nearly all of the
+        # 256 masks before any per-mask array transform/sort runs
         F.expr(
-            f"transform(filter(sequence(0, {_LCS_K - 1}), "
-            "i -> (shiftright(CAST(m AS BIGINT), CAST(i AS INT)) & 1) = 1), "
-            "i -> element_at(p, CAST(i + 1 AS INT)))"
-        ).alias("sel"),
+            f"CAST(aggregate(sequence(0, {_LCS_K - 1}), 0L, (acc, i) -> "
+            "acc + CASE WHEN element_at(p, CAST(i + 1 AS INT)) IS NULL "
+            "THEN 0L ELSE shiftleft(1L, CAST(i AS INT)) END) AS BIGINT)"
+        ).alias("nm"),
+    )
+    masked = (
+        withnm.select(
+            "nation",
+            "ym",
+            "p",
+            "nm",
+            F.explode(F.expr("sequence(0, 255)")).alias("m"),
+        )
+        .filter(F.expr("(m & (255 - nm)) = 0"))
+        .select(
+            "nation",
+            "ym",
+            "m",
+            F.expr(
+                f"transform(filter(sequence(0, {_LCS_K - 1}), "
+                "i -> (shiftright(CAST(m AS BIGINT), CAST(i AS INT)) & 1) = 1), "
+                "i -> element_at(p, CAST(i + 1 AS INT)))"
+            ).alias("sel"),
+        )
     )
     valid = masked.select(
         "nation",
         "ym",
         F.when(
             F.expr(
-                "forall(sel, x -> x IS NOT NULL) "
-                "AND sel = array_sort(sel) "
+                "sel = array_sort(sel) "
                 "AND size(array_distinct(sel)) = size(sel)"
             ),
             F.expr("bit_count(CAST(m AS BIGINT))"),
@@ -466,24 +496,7 @@ def _elo_exp_sql(diff: str) -> str:
 @query(
     "rank_elo_lut_replay",
     oracle=f"""
-        WITH RECURSIVE und AS (
-            SELECT least(c.c_nationkey, s.s_nationkey) AS u,
-                   greatest(c.c_nationkey, s.s_nationkey) AS v,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2)) * 100)
-                        AS BIGINT) AS w
-            FROM lineitem l
-            JOIN orders o ON o.o_orderkey = l.l_orderkey
-            JOIN customer c ON c.c_custkey = o.o_custkey
-            JOIN supplier s ON s.s_suppkey = l.l_suppkey
-            WHERE c.c_nationkey <> s.s_nationkey
-            GROUP BY 1, 2
-        ), st AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-                   CAST(SUM(w) AS BIGINT) AS tot FROM und
-        ), heavy AS (
-            SELECT u, v FROM und CROSS JOIN st
-            WHERE w * cnt * 2 >= 3 * tot
-        ), flows AS (
+        WITH RECURSIVE flows AS MATERIALIZED (
             SELECT s.s_nationkey AS exp_n, c.c_nationkey AS imp_n,
                    year(CAST(o.o_orderdate AS DATE)) * 100
                        + month(CAST(o.o_orderdate AS DATE)) AS ym,
@@ -495,6 +508,19 @@ def _elo_exp_sql(diff: str) -> str:
             JOIN supplier s ON s.s_suppkey = l.l_suppkey
             WHERE c.c_nationkey <> s.s_nationkey
             GROUP BY 1, 2, 3
+        ), und AS (
+            -- undirected trade weights re-aggregated from the monthly
+            -- flows: ONE fact-scale join feeds both the edge rule and
+            -- the game outcomes
+            SELECT least(exp_n, imp_n) AS u, greatest(exp_n, imp_n) AS v,
+                   CAST(SUM(f) AS BIGINT) AS w
+            FROM flows GROUP BY 1, 2
+        ), st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(w) AS BIGINT) AS tot FROM und
+        ), heavy AS (
+            SELECT u, v FROM und CROSS JOIN st
+            WHERE w * cnt * 2 >= 3 * tot
         ), games AS MATERIALIZED (
             SELECT ROW_NUMBER() OVER (ORDER BY ym, u, v) AS rn,
                    u, v, u_wins
@@ -575,9 +601,25 @@ def rank_elo_lut_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), supplier.s_suppkey == line.l_suppkey)
         .where(cn != sn)
     )
-    und = joined.groupBy(
-        F.least(cn, sn).alias("u"), F.greatest(cn, sn).alias("v")
-    ).agg(F.sum(dec("l_extendedprice") * 100).cast("long").alias("w"))
+    # ONE fact-scale join+aggregation; the bounded flows relation
+    # (pairs x months) is barriered and feeds BOTH the undirected edge
+    # rule and the per-month game outcomes
+    flows = (
+        joined.groupBy(
+            sn.alias("exp_n"),
+            cn.alias("imp_n"),
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 100
+                + F.month(F.col("o_orderdate").cast("date"))
+            ).alias("ym"),
+        )
+        .agg(F.sum(dec("l_extendedprice") * 100).cast("long").alias("f"))
+        .localCheckpoint(eager=False)
+    )
+    und = flows.groupBy(
+        F.least("exp_n", "imp_n").alias("u"),
+        F.greatest("exp_n", "imp_n").alias("v"),
+    ).agg(F.sum("f").cast("long").alias("w"))
     st = und.agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("w").cast("long").alias("tot"),
@@ -587,18 +629,10 @@ def rank_elo_lut_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") * F.col("cnt") * 2 >= 3 * F.col("tot"))
         .select("u", "v")
     )
-    flows = joined.groupBy(
-        sn.alias("exp_n"),
-        cn.alias("imp_n"),
-        (
-            F.year(F.col("o_orderdate").cast("date")) * 100
-            + F.month(F.col("o_orderdate").cast("date"))
-        ).alias("ym"),
-    ).agg(F.sum(dec("l_extendedprice") * 100).cast("long").alias("f"))
     fu = flows.select(
         F.col("exp_n").alias("u1"),
         F.col("imp_n").alias("v1"),
-        F.col("ym"),
+        F.col("ym").alias("ym1"),
         F.col("f").alias("f_uv"),
     )
     fv = flows.select(
@@ -611,11 +645,12 @@ def rank_elo_lut_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy.join(fu, (fu.u1 == heavy.u) & (fu.v1 == heavy.v))
         .join(
             fv,
-            (fv.u2 == heavy.u) & (fv.v2 == heavy.v) & (fv.ym2 == fu.ym),
+            (F.col("u2") == F.col("u")) & (F.col("v2") == F.col("v"))
+            & (F.col("ym2") == F.col("ym1")),
             "left",
         )
         .select(
-            "ym",
+            F.col("ym1").alias("ym"),
             "u",
             "v",
             (F.coalesce("f_uv", F.lit(0)) > F.coalesce("f_vu", F.lit(0)))
