@@ -153,10 +153,14 @@ def emb_power_iteration_top_eigen(
     row = q.agg(*gram_aggs).collect()[0]
     if all(row[f"g{i}_{j}"] is None for i in range(1, PI_DIMS + 1)
            for j in range(i, PI_DIMS + 1)):
-        # Empty embeddings table: every SUM is NULL. Return an empty result
-        # with the output schema instead of raising TypeError below.
+        # Empty embeddings table: every SUM is NULL. The oracle's
+        # single-row aggregate propagates those NULLs through every CTE
+        # level and still emits ONE all-NULL row, so mirror that exactly
+        # instead of returning an empty frame (row-count parity on the
+        # empty-input edge case).
         return spark.createDataFrame(
-            [], "lam double, v1 double, v2 double, v3 double"
+            [(None, None, None, None)],
+            "lam double, v1 double, v2 double, v3 double",
         )
 
     def g(i: int, j: int) -> float:

@@ -521,17 +521,27 @@ def _elo_exp_sql(diff: str) -> str:
         ), heavy AS (
             SELECT u, v FROM und CROSS JOIN st
             WHERE w * cnt * 2 >= 3 * tot
+        ), gkeys AS (
+            -- every (heavy pair, month) where EITHER direction traded:
+            -- a month with only the reverse (v -> u) flow is still a
+            -- decided game, so games are keyed on the canonical pair,
+            -- not on the u -> v flow's existence
+            SELECT DISTINCT h.u, h.v, f.ym
+            FROM heavy h JOIN flows f
+              ON least(f.exp_n, f.imp_n) = h.u
+             AND greatest(f.exp_n, f.imp_n) = h.v
         ), games AS MATERIALIZED (
             SELECT ROW_NUMBER() OVER (ORDER BY ym, u, v) AS rn,
                    u, v, u_wins
             FROM (
-                SELECT h.u, h.v, fu.ym,
+                SELECT k.u, k.v, k.ym,
                        COALESCE(fu.f, 0) > COALESCE(fv.f, 0) AS u_wins,
                        COALESCE(fu.f, 0) <> COALESCE(fv.f, 0) AS decided
-                FROM heavy h
-                JOIN flows fu ON fu.exp_n = h.u AND fu.imp_n = h.v
-                LEFT JOIN flows fv ON fv.exp_n = h.v AND fv.imp_n = h.u
-                                   AND fv.ym = fu.ym
+                FROM gkeys k
+                LEFT JOIN flows fu ON fu.exp_n = k.u AND fu.imp_n = k.v
+                                   AND fu.ym = k.ym
+                LEFT JOIN flows fv ON fv.exp_n = k.v AND fv.imp_n = k.u
+                                   AND fv.ym = k.ym
             ) WHERE decided
         ), mx AS (SELECT MAX(rn) AS m FROM games),
         replay AS (
@@ -576,8 +586,10 @@ def _elo_exp_sql(diff: str) -> str:
         ORDER BY nation
     """,
     description="Elo rating replay over the heavy-trade nation rivalry "
-    "graph: each month, each heavy pair plays a 'game' decided by which "
-    "side exported more (monthly directed flow cents; ties skipped), "
+    "graph: each month where EITHER direction of a heavy pair traded "
+    "produces a 'game' decided by which side exported more (monthly "
+    "directed flow cents; ties skipped — games are keyed on the union "
+    "of both directed flows so a reverse-only month still counts), "
     "and ratings update sequentially with K=16 and an INTEGER expected-"
     "score LUT over clamped rating-diff buckets — the float-free "
     "logistic stand-in that makes the replay bit-exact (truncation-"
@@ -641,16 +653,33 @@ def rank_elo_lut_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ym").alias("ym2"),
         F.col("f").alias("f_vu"),
     )
+    # game keys = union of BOTH directed flows mapped to the canonical
+    # pair, so a month where only the reverse (v -> u) flow exists is
+    # still a decided game (bounded relation: pairs x months)
+    gkeys = (
+        flows.select(
+            F.least("exp_n", "imp_n").alias("u"),
+            F.greatest("exp_n", "imp_n").alias("v"),
+            "ym",
+        )
+        .distinct()
+        .join(F.broadcast(heavy), ["u", "v"])
+    )
     games_df = (
-        heavy.join(fu, (fu.u1 == heavy.u) & (fu.v1 == heavy.v))
+        gkeys.join(
+            fu,
+            (fu.u1 == gkeys.u) & (fu.v1 == gkeys.v)
+            & (fu.ym1 == gkeys.ym),
+            "left",
+        )
         .join(
             fv,
             (F.col("u2") == F.col("u")) & (F.col("v2") == F.col("v"))
-            & (F.col("ym2") == F.col("ym1")),
+            & (F.col("ym2") == F.col("ym")),
             "left",
         )
         .select(
-            F.col("ym1").alias("ym"),
+            "ym",
             "u",
             "v",
             (F.coalesce("f_uv", F.lit(0)) > F.coalesce("f_vu", F.lit(0)))

@@ -3,8 +3,9 @@
 Oracle parity proves Spark == DuckDB; these tests prove both match
 the MATH — structural guarantees (Bloom soundness, Count-Sketch
 bounds, rank-identity mismatch counts at zero, Wilcoxon rank-sum
-conservation, pass@k monotonicity, Elo zero-sum, the two-choice
-herding penalty) that must hold on any data.
+conservation, pass@k monotonicity, Elo zero-sum) that must hold on
+any data. Empirical tendencies that are NOT theorems (the two-choice
+herding penalty) are gated on the pinned sf0.001 fixture.
 """
 
 from __future__ import annotations
@@ -95,19 +96,24 @@ def test_edf_lateness_consistency(spark, sf_dir):
 
 
 def test_two_choice_herding_audit_consistent(spark, sf_dir):
-    """Ball conservation across both strategies, and the audited
-    phenomenon itself: one-round static two-choice WITHOUT load
-    feedback herds balls into the first-round-light bins, so its
-    max load is at least the single-choice max (the query exists to
-    measure that penalty) while its min load collapses."""
+    """Ball conservation across both strategies (a true invariant),
+    plus pigeonhole on the single-choice max. The herding penalty
+    itself (static two-choice max >= single-choice max) is an
+    EMPIRICAL tendency of one-round load-blind two-choice, not a
+    theorem — a regenerated or differently-sized fixture could
+    legitimately violate it — so it is checked only on the known
+    sf0.001 fixture rather than asserted unconditionally."""
     rows = {r.strategy: r for r in _rows(
         spark, sf_dir, "dist_two_choice_load_audit")}
     assert set(rows) == {"single_choice", "two_choice_static"}
     s, t = rows["single_choice"], rows["two_choice_static"]
-    assert s.n_balls == t.n_balls
-    assert s.max_load >= s.n_balls // 64  # pigeonhole
-    assert t.max_load >= s.max_load  # herding penalty
-    assert t.min_load <= s.min_load
+    assert s.n_balls == t.n_balls  # ball conservation: invariant
+    assert s.max_load >= s.n_balls // 64  # pigeonhole: invariant
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        # fixture-specific: the herding penalty as measured on the
+        # pinned driver fixture (not a data-independent law)
+        assert t.max_load >= s.max_load
+        assert t.min_load <= s.min_load
 
 
 def test_pass_at_k_monotone_in_k_and_c(spark, sf_dir):
