@@ -499,6 +499,25 @@ HEADLINE = [
     "seq_lcs_monthly_baskets",
     "rank_elo_lut_replay",
     "text_textrank_keywords",
+    # wave 212 (round 8)
+    "election_banzhaf_power_index",
+    "graph_max_clique_enumeration",
+    "graph_mincut_subset_enumeration",
+    "inventory_wagner_whitin_lotsize",
+    "opt_secretary_rule_replay",
+    "sched_wfq_virtual_finish",
+    "auction_uniform_price_clearing",
+    "alloc_airport_game_shapley",
+    "optimizer_agm_bound_audit",
+    "timeseries_sad_matrix_profile",
+    "actuarial_chain_ladder_projection",
+    "finance_price_index_lpf",
+    "net_longest_prefix_match",
+    "layout_lsm_writeamp_economics",
+    "text_integer_surprisal_scores",
+    "privacy_unicity_two_points",
+    "search_wand_pruning_economics",
+    "text_mattr_lexical_diversity",
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL

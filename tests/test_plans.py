@@ -861,3 +861,57 @@ def test_wave211_plan_pins(spark, sf_dir):
     )
     assert plan.count("orders.parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_wave212_plan_pins(spark, sf_dir):
+    """Load-bearing physical-plan shapes for the wave-212 operators."""
+    # Banzhaf: the weight panel is checkpointed (plan shows the local
+    # relation, not the lineitem scan); the 2^10 enumeration must never
+    # degenerate to an unbroadcast cartesian
+    plan = physical_plan(
+        REGISTRY["election_banzhaf_power_index"].fn(spark, sf_dir)
+    )
+    assert "lineitem.parquet" not in plan, plan  # panel pre-reduced
+    assert "CartesianProduct" not in plan, plan
+    # LPM: the match is an EQUI broadcast hash join (the design claim),
+    # never a nested-loop range probe over the fact table
+    plan = physical_plan(
+        REGISTRY["net_longest_prefix_match"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    # price index: the brand-month panel is checkpointed (no fact scan
+    # in the returned plan); the base-month match is a broadcast join
+    plan = physical_plan(
+        REGISTRY["finance_price_index_lpf"].fn(spark, sf_dir)
+    )
+    assert "lineitem.parquet" not in plan, plan  # panel pre-reduced
+    assert "BroadcastHashJoin" in plan, plan
+    # surprisal: zero Python row-UDFs anywhere in the scoring path
+    plan = physical_plan(
+        REGISTRY["text_integer_surprisal_scores"].fn(spark, sf_dir)
+    )
+    assert "BatchEvalPython" not in plan, plan
+    # auction: pure window + aggregation — no join at all
+    plan = physical_plan(
+        REGISTRY["auction_uniform_price_clearing"].fn(spark, sf_dir)
+    )
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    # matrix profile: the bounded all-pairs join must be the broadcast
+    # nested loop over the month spine, not a cartesian of fact rows
+    plan = physical_plan(
+        REGISTRY["timeseries_sad_matrix_profile"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    # LSM economics: one lineitem scan, no join
+    plan = physical_plan(
+        REGISTRY["layout_lsm_writeamp_economics"].fn(spark, sf_dir)
+    )
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    # airport Shapley: dimension side broadcast
+    plan = physical_plan(
+        REGISTRY["alloc_airport_game_shapley"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
