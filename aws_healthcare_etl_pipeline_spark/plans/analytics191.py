@@ -395,10 +395,15 @@ _PI_YEAR = 1996
             FROM pr t JOIN base b ON b.p_brand = t.p_brand
             WHERE t.ym > {_PI_BASE}
         ), agg AS (
+            -- HUGEINT accumulation: sum(p*q) exceeds BIGINT from sf0.1
+            -- up (price in millicents x basket quantities), mirrored by
+            -- DECIMAL(38,0) sums on the Spark side
             SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_brands,
-                   CAST(SUM(pt * q0) * 1000000 // SUM(p0 * q0) AS BIGINT)
+                   CAST(SUM(CAST(pt AS HUGEINT) * q0) * 1000000
+                        // SUM(CAST(p0 AS HUGEINT) * q0) AS BIGINT)
                        AS laspeyres_micro,
-                   CAST(SUM(pt * qt) * 1000000 // SUM(p0 * qt) AS BIGINT)
+                   CAST(SUM(CAST(pt AS HUGEINT) * qt) * 1000000
+                        // SUM(CAST(p0 AS HUGEINT) * qt) AS BIGINT)
                        AS paasche_micro
             FROM matched GROUP BY ym
         )
@@ -444,12 +449,18 @@ def finance_price_index_lpf(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = pr.where(F.col("ym") > _PI_BASE).join(
         F.broadcast(base), F.col("bb") == F.col("p_brand")
     )
+    # DECIMAL(38,0) accumulation (== the oracle's HUGEINT): the raw
+    # long product p*q overflows from sf0.1 up — caught by the sweep
     agg = matched.groupBy("ym").agg(
         F.count(F.lit(1)).cast("long").alias("n_brands"),
-        F.expr("sum(p * q0) * 1000000 div sum(p0 * q0)").cast("long")
-        .alias("laspeyres_micro"),
-        F.expr("sum(p * q) * 1000000 div sum(p0 * q)").cast("long")
-        .alias("paasche_micro"),
+        F.expr(
+            "cast(sum(cast(p as decimal(38,0)) * q0) * 1000000"
+            " div sum(cast(p0 as decimal(38,0)) * q0) as bigint)"
+        ).alias("laspeyres_micro"),
+        F.expr(
+            "cast(sum(cast(p as decimal(38,0)) * q) * 1000000"
+            " div sum(cast(p0 as decimal(38,0)) * q) as bigint)"
+        ).alias("paasche_micro"),
     )
     return agg.select(
         F.col("ym").cast("long").alias("ym"),
@@ -736,15 +747,13 @@ def text_integer_surprisal_scores(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.explode(F.split(F.col("text"), " ")).alias("word"),
-        )
-        .where(F.col("word") != "")
-        .localCheckpoint(eager=False)
-    )
+    # NOT checkpointed: the explode recomputes cheaper than the token
+    # relation materializes (measured 1.41s vs 2.10s at sf1)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).where(F.col("word") != "")
     vocab = toks.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("nw")
     )
@@ -976,13 +985,11 @@ def search_wand_pruning_economics(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-        )
-        .where(F.length("word") >= 4)
-        .localCheckpoint(eager=False)
-    )
+    # NOT checkpointed (same tradeoff as the surprisal/MATTR token
+    # relations: explode recompute < materialization)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.length("word") >= 4)
     panel = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -1108,11 +1115,14 @@ def text_mattr_lexical_diversity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # NOT checkpointed: re-running the pushed-down scan + explode for
+    # the second consumer is ~1.4x faster at sf1 than materializing the
+    # ~30M-row token relation (measured; SCALE.md round-8 notes)
     toks = docs.select(
         "doc_id",
         "lang",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
-    ).where(F.col("word") != "").localCheckpoint(eager=False)
+    ).where(F.col("word") != "")
     wins = toks.groupBy(
         "doc_id", "lang", F.expr(f"pos div {_MATTR_W}").alias("win")
     ).agg(
