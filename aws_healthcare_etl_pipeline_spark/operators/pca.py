@@ -53,28 +53,38 @@ def covariance_stats(df: DataFrame, vec_col: str = "embedding") -> tuple[int, np
             )
 
     dim = len(df.select(vec_col).first()[0])
+    # lazily checkpointed: the partials relation is #batches x 33 KB
+    # (bounded reduce payload), and three tiny jobs consume it below
     parts = df.select(vec_col).mapInPandas(
         partials, schema="n long, s array<double>, xtx array<double>"
-    )
-    # ONE F.expr parse per array: building dim^2 Column objects costs a
-    # py4j round trip each (~60s of pure plan construction at dim=64);
-    # the single parsed string is ~100x faster to build (SCALE.md:
-    # "plan construction is py4j-bound")
-    s_expr = "array(" + ",".join(f"sum(element_at(s, {i + 1}))" for i in range(dim)) + ")"
-    xtx_expr = (
-        "array("
-        + ",".join(f"sum(element_at(xtx, {i + 1}))" for i in range(dim * dim))
-        + ")"
-    )
-    agg = parts.select(
-        F.sum("n").alias("n"),
-        F.expr(s_expr).alias("s"),
-        F.expr(xtx_expr).alias("xtx"),
-    ).collect()[0]
-    n = agg["n"]
-    mean = np.array(agg["s"]) / n
-    xtx = np.array(agg["xtx"]).reshape(dim, dim)
-    cov = xtx / n - np.outer(mean, mean)
+    ).localCheckpoint(eager=False)
+    # Elementwise array-sum as posexplode -> groupBy(pos) -> sum: one
+    # GENERIC hash aggregate over (#batches x dim^2) tiny rows. The
+    # previous form — dim^2 = 4096 separate SUM(element_at(...))
+    # aggregate expressions in one plan — cost ~15s of one-time Janino
+    # codegen plus seconds of interpreted eval per run at dim=64
+    # (measured: fit_pca 20s cold / ~5s warm -> 1-2s total); the
+    # exploded shape keeps the shuffle payload identical and the plan
+    # constant-size in dim.
+    n = parts.agg(F.sum("n").alias("n")).collect()[0]["n"]
+    s = np.zeros(dim)
+    for r in (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("sv"))
+        .collect()
+    ):
+        s[r["i"]] = r["sv"]
+    xtx = np.zeros(dim * dim)
+    for r in (
+        parts.select(F.posexplode("xtx").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("sv"))
+        .collect()
+    ):
+        xtx[r["i"]] = r["sv"]
+    mean = s / n
+    cov = xtx.reshape(dim, dim) / n - np.outer(mean, mean)
     return n, mean, cov
 
 
