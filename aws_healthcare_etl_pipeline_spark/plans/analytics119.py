@@ -251,104 +251,59 @@ def attribution_markov_removal(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .localCheckpoint(eager=False)  # <= ~25-row transition matrix
     )
-    ns = tr.groupBy("s").agg(F.sum("n").cast("long").alias("n_s"))
-    channels = tr.where(F.col("s") != "START").select(
-        F.col("s").alias("ch")
-    ).distinct()
-    states = (
-        tr.select(F.col("s").alias("state"))
-        .unionByName(tr.select(F.col("t").alias("state")))
-        .distinct()
-    )
-    variants = channels.select(F.col("ch").alias("var")).unionByName(
-        spark.createDataFrame([("__base__",)], ["var"])
-    )
-    st = (
-        variants.crossJoin(states)
-        .join(ns, ns.s == F.col("state"), "left")
-        .select(
-            "var",
-            "state",
-            F.when(F.col("state") == "CONV", "conv")
-            .when(F.col("state") == "NULL", "null")
-            .when(F.col("state") == F.col("var"), "removed")
-            .otherwise("trans")
-            .alias("kind"),
-            "n_s",
+    # Dimension-bounded model: the transition matrix is <= ~25 rows
+    # (event types x {START, CONV, NULL}), so the 12-step x (channels+1)
+    # value iteration runs DRIVER-SIDE under the bounded-collect
+    # contract (the Elo / TextRank precedent) instead of as ~24 tiny
+    # shuffle stages — the fact-scale sessionization above stays fully
+    # distributed, and the integer arithmetic (truncation division per
+    # step) is bit-identical to the oracle's recursive replay.
+    tr_rows = [(r["s"], r["t"], int(r["n"])) for r in tr.collect()]
+    n_s: dict[str, int] = {}
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for s, t, n in tr_rows:
+        n_s[s] = n_s.get(s, 0) + n
+        adj.setdefault(s, []).append((t, n))
+    states = sorted({s for s, _, _ in tr_rows} | {t for _, t, _ in tr_rows})
+    channels = sorted({s for s, _, _ in tr_rows if s != "START"})
+
+    def p_start(removed: str | None) -> int:
+        v = {st: (1_000_000 if st == "CONV" else 0) for st in states}
+        for _ in range(_MR_STEPS):
+            nv = {}
+            for st in states:
+                if st == "CONV":
+                    nv[st] = 1_000_000
+                elif st == "NULL" or st == removed:
+                    nv[st] = 0
+                else:
+                    acc = sum(n * v[t] for t, n in adj.get(st, []))
+                    nv[st] = acc // n_s[st] if st in n_s else 0
+            v = nv
+        return v.get("START", 0)
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    pb = p_start(None)
+    effs = [(ch, pb, p_start(ch)) for ch in channels]
+    te = sum(pb_ - pr for _, pb_, pr in effs)
+    rows = [
+        (
+            ch,
+            pb_,
+            pr,
+            pb_ - pr,
+            trunc_div((pb_ - pr) * 1000, te) if te > 0 else 0,
         )
-        .localCheckpoint(eager=False)  # 35-row state x variant table
-    )
-    v = st.select(
-        "var",
-        "state",
-        F.when(F.col("kind") == "conv", F.lit(1000000))
-        .otherwise(0)
-        .cast("long")
-        .alias("v"),
-    )
-    for k in range(_MR_STEPS):
-        pv = v.select(
-            F.col("var").alias("pvar"),
-            F.col("state").alias("pstate"),
-            F.col("v").alias("pv"),
-        )
-        v = (
-            st.join(
-                F.broadcast(tr),
-                (tr.s == st.state) & (st.kind == "trans"),
-                "left",
-            )
-            .join(
-                F.broadcast(pv),
-                (F.col("pvar") == st.var) & (F.col("pstate") == tr.t),
-                "left",
-            )
-            .groupBy("var", "state", "kind", "n_s")
-            .agg(F.sum(F.col("n") * F.col("pv")).alias("acc"))
-            .select(
-                "var",
-                "state",
-                F.expr(
-                    "CASE kind WHEN 'conv' THEN 1000000"
-                    " WHEN 'trans' THEN COALESCE(acc, 0) div n_s"
-                    " ELSE 0 END"
-                )
-                .cast("long")
-                .alias("v"),
-            )
-        )
-        if k % 4 == 3:
-            v = v.localCheckpoint(eager=False)
-    start_v = v.where(F.col("state") == "START")
-    base = start_v.where(F.col("var") == "__base__").select(
-        F.col("v").alias("pb")
-    )
-    eff = (
-        start_v.where(F.col("var") != "__base__")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("var").alias("channel"),
-            "pb",
-            F.col("v").alias("pr"),
-            (F.col("pb") - F.col("v")).alias("re"),
-        )
-    )
-    tot = eff.agg(F.sum("re").alias("te"))
-    return (
-        eff.crossJoin(F.broadcast(tot))
-        .select(
-            "channel",
-            F.col("pb").cast("long").alias("p_base_micro"),
-            F.col("pr").cast("long").alias("p_removed_micro"),
-            F.col("re").cast("long").alias("removal_effect_micro"),
-            F.expr(
-                "CASE WHEN te > 0 THEN re * 1000 div te ELSE 0 END"
-            )
-            .cast("long")
-            .alias("share_permille"),
-        )
-        .orderBy("channel")
-    )
+        for ch, pb_, pr in effs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_base_micro bigint, p_removed_micro bigint,"
+        " removal_effect_micro bigint, share_permille bigint",
+    ).orderBy("channel")
 
 
 # ------------------------------------- learned-index epsilon audit
