@@ -71,294 +71,261 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-window ordering. The driver checks the FIRST ~50 entries
-# of queries() each round; rounds 1-7 verified 346 distinct queries green
-# (CORRECTNESS_r01-r07, zero unfixed failures). Round 8 front-loads 50 of
-# the 274 never-driver-checked queries, heaviest (measured sf0.1 bench
-# cost) first — the round-7 verdict's named rotation list. Past slot 50:
+# of queries() each round; rounds 1-8 verified 396 distinct queries green
+# (CORRECTNESS_r01-r08, zero unfixed failures). Round 9 front-loads 50 of
+# the 242 never-driver-checked queries, heaviest (measured sf0.1 bench
+# cost) first — the round-8 verdict's named rotation list. Past slot 50:
 # every OTHER never-checked query by cost desc (so any wider window still
 # hits fresh rows first); previously-green entries trail via
 # _ordered_names (still covered by the sf0.001 pytest parity gate and the
 # full sf0.01 driver_sim certification each round).
 _VERIFICATION_PRIORITY = [
-    # --- front 50 (round 8): never driver-checked, heaviest first ---
-    # (the round-7 verdict's named list: count-sketch, LCS, Elo replay,
-    # pass@k, triangle estimator, percent_rank battery, TextRank, token
-    # bucket, average precision, Neyman allocation, bootstrap CI,
-    # windowed top-k, resource-allocation link prediction, NB learning
-    # curve, join-fanout audit — then by sf0.1 bench cost desc.)
-    "approx_count_sketch_signed",
-    "seq_lcs_monthly_baskets",
-    "rank_elo_lut_replay",
-    "eval_pass_at_k_estimator",
-    "graph_triangle_sample_estimator",
-    "window_percent_rank_cume_battery",
-    "text_textrank_keywords",
-    "streaming_token_bucket_quota",
-    "ml_average_precision_exact",
-    "sampling_neyman_sd_allocation",
-    "stats_bootstrap_ci_deterministic",
-    "streaming_windowed_topk_types",
-    "graph_resource_allocation_linkpred",
-    "ml_nb_learning_curve",
-    "audit_join_fanout_estimates",
-    "fd_inclusion_dependency_discovery",
-    "inequality_gini_lorenz",
-    "orders_abc_xyz_classification",
-    "layout_range_partition_balance",
-    "emb_cosine_pair_histogram",
-    "text_burrows_delta_stylometry",
-    "multimodal_audio_vad_segments",
-    "ml_qini_uplift_deciles",
-    "graph_friendship_paradox",
-    "inventory_reorder_point_replay",
-    "optimizer_join_order_cost_audit",
-    "attribution_shapley_exact",
-    "seq_viterbi_integer_decode",
-    "geo_closest_pair_pernation",
-    "graph_modularity_nations",
-    "auction_second_price_clearing",
-    "multimodal_audio_gain_normalize",
-    "multimodal_audio_zero_crossings",
-    "inventory_capped_running_balance",
-    "pipeline_dataloader_shuffle_audit",
-    "inventory_wac_moving_average",
-    "text_kwic_concordance",
-    "inventory_intermittency_quadrants",
-    "ops_kingman_vut_approximation",
-    "search_trigram_fuzzy_parts",
-    "repair_mode_imputation_accuracy",
-    "sampling_systematic_vs_hash",
-    "data_shapley_knn_exact",
-    "ops_otif_fill_rate",
-    "events_peak_prominence_daily",
-    "asof_nearest_purchase_click",
-    "search_postings_gap_stats",
-    "search_rbo_rank_overlap",
-    "events_session_type_lift",
-    "dq_primary_key_violation_audit",
-    # --- remaining never-driver-checked (224), by cost desc ---
-    "events_repeat_rate_7d",
-    "inequality_hoover_index",
-    "stats_exact_raw_moments",
-    "finance_npv_irr_rate_grid",
-    "assortment_coverage_gaps",
-    "layout_learned_index_epsilon",
-    "market_concentration_cr4",
-    "dq_constraint_mining_audit",
-    "sql_qualify_window_filter",
-    "ml_evalset_sizing_curve",
-    "multimodal_video_scene_cuts",
-    "forecast_croston_intermittent",
-    "timeseries_haar_wavelet_energy",
+    # --- front 50 (round 9): never driver-checked, heaviest first ---
+    # (the round-8 verdict's named list: max clique, min cut, AGM bound
+    # audit, WAND pruning economics, chain ladder, nulls-ordering battery,
+    # grid radius join, incremental view maintenance, Croston, BPE apply —
+    # then by sf0.1 BENCH_DETAIL cost desc.)
+    "graph_max_clique_enumeration",
+    "graph_mincut_subset_enumeration",
+    "optimizer_agm_bound_audit",
+    "search_wand_pruning_economics",
+    "actuarial_chain_ladder_projection",
+    "sql_nulls_ordering_battery",
     "geo_grid_radius_join",
-    "election_voting_rules_compared",
-    "ml_naive_bayes_exact_argmax",
-    "experiment_ipw_confounder_correction",
-    "experiment_cuped_variance_reduction",
-    "agg_approx_percentile_rank_guarantee",
-    "graph_katz_centrality_integer",
-    "dist_two_choice_load_audit",
-    "compression_rle_economics",
-    "audit_merkle_month_digests",
-    "audit_event_hash_chain",
-    "multimodal_audio_frame_energy",
-    "finance_vwap_divergence",
-    "hash_truncation_collision_audit",
-    "timeseries_kadane_extremes",
-    "approx_countmin_sketch_audit",
-    "supplier_composite_scorecard",
-    "stats_benjamini_hochberg_fdr",
-    "graph_degree_assortativity",
-    "linkage_phonetic_blocking",
-    "inventory_ss_policy_replay",
-    "privacy_erasure_blast_radius",
-    "finance_net_dollar_retention",
+    "view_incremental_join_maintenance",
+    "forecast_croston_intermittent",
     "pipeline_bpe_tokenize_apply",
-    "supply_bullwhip_ratio",
-    "stat_exact_permutation_pvalue",
-    "layout_codec_chooser",
-    "finance_price_volume_bridge",
-    "mdm_survivorship_policy_battery",
-    "events_dau_mau_stickiness",
-    "ml_brier_murphy_decomposition",
-    "finance_arc_price_elasticity",
-    "dq_missingness_pattern_mining",
-    "finance_max_drawdown_underwater",
-    "supply_bullwhip_variance_ratio",
-    "audit_duplicate_invoice_candidates",
-    "ml_target_encoding_loo",
-    "sec_impossible_travel_audit",
-    "stats_grain_fallacy_audit",
-    "window_ignore_nulls_battery",
-    "changepoint_two_segment_sse",
-    "layout_delta_varint_economics",
-    "text_zipf_bigram_buckets",
-    "attribution_position_based",
-    "events_circular_hour_stats",
-    "text_boilerplate_line_removal",
-    "linkage_fellegi_sunter_scores",
-    "emb_int8_quantization_error",
-    "stat_quantile_mapping_transfer",
-    "sampling_design_error_comparison",
-    "alloc_apportionment_methods",
-    "forecast_pinball_loss_eval",
-    "anomaly_hampel_filter_daily",
-    "forecast_holt_linear_replay",
-    "lakehouse_cdc_changefeed",
-    "stats_jackknife_ratio_variance",
-    "stats_simpsons_paradox_scan",
-    "search_phrase_positions",
-    "sql_not_in_null_trap_battery",
-    "optimizer_independence_qerror",
-    "quality_expectation_suite",
-    "sql_integer_division_semantics_battery",
-    "opt_knapsack_density_gap",
-    "routing_tsp_nn_2opt",
-    "lakehouse_time_travel_merge",
-    "rank_wilson_lower_bound",
-    "causal_diff_in_differences",
-    "emb_mips_vs_cosine_divergence",
+    "timeseries_sad_matrix_profile",
+    "inventory_ss_policy_replay",
+    "inventory_wagner_whitin_lotsize",
+    "audit_event_hash_chain",
+    "opt_secretary_rule_replay",
+    "sql_qualify_window_filter",
     "stat_ks_two_sample",
-    "orders_priority_mix_shift",
+    "approx_countmin_sketch_audit",
+    "dist_two_choice_load_audit",
+    "emb_mips_vs_cosine_divergence",
+    "text_mattr_lexical_diversity",
+    "ml_brier_murphy_decomposition",
+    "search_phrase_positions",
+    "net_longest_prefix_match",
+    "multimodal_audio_frame_energy",
+    "assortment_coverage_gaps",
+    "finance_npv_irr_rate_grid",
+    "supply_bullwhip_variance_ratio",
+    "finance_arc_price_elasticity",
+    "supplier_composite_scorecard",
+    "forecast_holt_linear_replay",
+    "time_business_day_sla",
+    "ml_naive_bayes_exact_argmax",
+    "lakehouse_time_travel_merge",
+    "join_salted_skew_equivalence",
+    "graph_katz_centrality_integer",
+    "finance_net_dollar_retention",
+    "inequality_hoover_index",
+    "scd2_point_in_time_join",
+    "experiment_ipw_confounder_correction",
+    "events_dau_mau_stickiness",
+    "orders_backlog_daily",
+    "emb_fisher_separation_ratio",
+    "audit_duplicate_invoice_candidates",
+    "text_integer_surprisal_scores",
+    "graph_degree_assortativity",
+    "lakehouse_cdc_changefeed",
+    "experiment_cuped_variance_reduction",
+    "graph_avg_neighbor_degree",
+    "layout_learned_index_epsilon",
+    # --- remaining never-driver-checked (192), by cost desc ---
+    "timeseries_haar_wavelet_energy",
+    "stats_benjamini_hochberg_fdr",
+    "agg_approx_percentile_rank_guarantee",
+    "mdm_survivorship_policy_battery",
+    "sampling_design_error_comparison",
+    "dq_constraint_mining_audit",
+    "market_concentration_cr4",
+    "finance_price_index_lpf",
+    "events_circular_hour_stats",
+    "stats_exact_raw_moments",
+    "election_voting_rules_compared",
+    "window_ignore_nulls_battery",
+    "events_markov_homogeneity",
+    "privacy_erasure_blast_radius",
+    "privacy_unicity_two_points",
+    "linkage_phonetic_blocking",
+    "audit_duplicate_payment_detector",
+    "finance_max_drawdown_underwater",
+    "experiment_mde_power_analysis",
+    "layout_codec_chooser",
+    "causal_diff_in_differences",
+    "stats_grain_fallacy_audit",
+    "dq_missingness_pattern_mining",
+    "sec_impossible_travel_audit",
+    "alloc_airport_game_shapley",
+    "causal_rdd_quantity_cutoff",
+    "sched_wfq_virtual_finish",
+    "sales_quarter_hockey_stick",
+    "finance_price_volume_bridge",
+    "events_watermark_lateness_profile",
+    "hash_truncation_collision_audit",
+    "sql_full_outer_rewrite_equivalence",
+    "finance_vwap_divergence",
+    "supply_bullwhip_ratio",
+    "text_zipf_bigram_buckets",
+    "stat_runs_test_daily",
     "anomaly_hbos_bincount_topk",
     "ops_incident_mttr_stats",
-    "graph_avg_neighbor_degree",
-    "time_business_day_sla",
-    "sales_quarter_hockey_stick",
-    "causal_rdd_quantity_cutoff",
-    "ml_leakage_detector_audit",
-    "ops_incident_cooccurrence_lift",
-    "events_markov_homogeneity",
-    "stat_wilcoxon_signed_rank",
-    "audit_duplicate_payment_detector",
-    "view_incremental_join_maintenance",
-    "isotonic_regression_exact",
-    "layout_dictionary_encoding_economics",
-    "emb_fisher_separation_ratio",
-    "inventory_dead_stock_audit",
-    "orders_backlog_daily",
-    "sql_relational_division",
-    "causal_coarsened_exact_matching",
-    "approx_hll_register_audit",
-    "layout_compaction_coalesce_plan",
-    "join_salted_skew_equivalence",
-    "stats_median_of_means",
-    "sched_edf_feasibility_audit",
-    "join_bloom_prefilter_equivalence",
-    "scd2_point_in_time_join",
-    "events_sliding_window_rate_limit",
-    "lakehouse_snapshot_diff_audit",
-    "regression_ransac_deterministic",
-    "experiment_mde_power_analysis",
-    "sql_full_outer_rewrite_equivalence",
-    "ml_permutation_feature_importance",
-    "approx_cms_count_estimates",
-    "audit_tv_distance_drift",
-    "join_hot_cold_split_equivalence",
-    "finance_price_volume_mix",
-    "ops_cron_schedule_expansion",
-    "scd_aswas_vs_asis_revenue",
-    "finance_rounding_mode_battery",
-    "ml_gini_stump_induction",
-    "privacy_l_diversity_audit",
-    "cdc_log_compaction",
-    "privacy_k_anonymity_audit",
-    "ops_sla_credit_calculation",
     "queueing_littles_law_audit",
+    "layout_delta_varint_economics",
+    "audit_merkle_month_digests",
+    "opt_knapsack_density_gap",
+    "ml_leakage_detector_audit",
+    "alloc_apportionment_methods",
+    "emb_int8_quantization_error",
+    "election_banzhaf_power_index",
+    "sql_relational_division",
+    "pipeline_dataset_shard_manifest",
+    "join_hot_cold_split_equivalence",
+    "timeseries_kadane_extremes",
+    "ml_gini_stump_induction",
+    "layout_dictionary_encoding_economics",
+    "forecast_pinball_loss_eval",
+    "finance_rounding_mode_battery",
+    "multimodal_video_scene_cuts",
+    "sql_integer_division_semantics_battery",
+    "routing_tsp_nn_2opt",
+    "approx_cms_count_estimates",
+    "ml_evalset_sizing_curve",
+    "events_repeat_rate_7d",
+    "privacy_t_closeness_emd",
+    "changepoint_two_segment_sse",
+    "orders_cum_distinct_customers",
     "text_hashing_trick_collisions",
     "election_kemeny_rank_4",
-    "risk_block_maxima_return_level",
-    "quality_shewhart_control_chart",
-    "sim_ndcg_retrieval_eval",
-    "sketch_bloom_fpr_audit",
-    "ops_erlang_b_blocking",
-    "sql_grouping_id_rollup_decode",
-    "ops_backoff_conformance_audit",
-    "inventory_eoq_batch_sizing",
-    "finance_day_count_conventions",
+    "stat_wilcoxon_signed_rank",
     "trend_mann_kendall_monthly",
-    "alert_hysteresis_daily",
-    "experiment_sprt_daily_replay",
-    "experiment_srm_guardrail",
-    "layout_zonemap_skipping_audit",
-    "serving_decayed_leaderboard",
-    "search_phrase_positional_index",
-    "finance_fx_triangulation_audit",
-    "privacy_generalization_ladder",
-    "forecast_backtest_naive_vs_seasonal",
-    "dist_rendezvous_hash_rebalance",
-    "time_fiscal_445_calendar",
-    "web_url_canonical_dedup",
-    "ml_auc_feature_screen",
-    "stat_runs_test_daily",
-    "layout_prefix_compression_audit",
-    "sql_decorrelation_equivalence",
-    "trend_theil_sen_slope",
-    "finance_progressive_tax_brackets",
-    "ml_negative_sampling_audit",
-    "stats_effective_sample_size",
-    "optimizer_predicate_order_cost",
-    "privacy_dp_geometric_counts",
-    "forecast_conformal_interval_audit",
-    "sql_null_ordering_battery",
-    "ml_gain_chart_deciles",
-    "timeseries_sax_motifs",
-    "window_ntile_remainder_semantics",
+    "rank_wilson_lower_bound",
+    "join_bloom_prefilter_equivalence",
     "multimodal_frame_dedup",
-    "search_autocomplete_prefix_topk",
-    "events_watermark_lateness_profile",
-    "survival_logrank_test",
-    "emb_triangle_inequality_audit",
-    "corpus_drift_idf_shift",
-    "storage_delta_of_delta_gorilla",
-    "audience_overlap_matrix",
-    "ml_mcnemar_paired_classifiers",
-    "fairness_equalized_odds_audit",
-    "pipeline_dataset_shard_manifest",
-    "pipeline_curriculum_stage_budgets",
-    "orders_cum_distinct_customers",
-    "privacy_t_closeness_emd",
-    "geo_point_in_polygon_winding",
-    "dq_freshness_staleness_audit",
-    "events_poisson_dispersion_test",
-    "format_csv_malformed_modes",
-    "text_good_turing_mass",
-    "timeseries_best_split_changepoint",
-    "regression_ols_exact",
-    "time_add_months_eom_battery",
-    "privacy_fpe_mask_audit",
-    "sql_pivot_quarterly_revenue",
+    "stat_exact_permutation_pvalue",
+    "audit_tv_distance_drift",
+    "text_boilerplate_line_removal",
     "events_cusum_changepoint",
-    "sql_range_vs_rows_frames",
-    "sql_explode_outer_battery",
-    "pipeline_filter_attrition_funnel",
-    "events_weekday_hour_heatmap",
-    "time_t2_settlement_battery",
-    "ml_annotator_agreement_kappa",
-    "finance_amortization_schedule",
-    "timeseries_rolling_correlation",
-    "sql_null_semantics_battery",
-    "dedup_shard_strategy_audit",
-    "pipeline_temperature_sampling_weights",
-    "dq_luhn_check_digit_audit",
-    "time_fiscal_calendar_rollup",
+    "ml_permutation_feature_importance",
+    "layout_compaction_coalesce_plan",
+    "approx_hll_register_audit",
+    "time_fiscal_445_calendar",
+    "inventory_dead_stock_audit",
+    "sched_edf_feasibility_audit",
+    "privacy_dp_geometric_counts",
+    "ops_sla_credit_calculation",
+    "linkage_fellegi_sunter_scores",
+    "privacy_k_anonymity_audit",
+    "causal_coarsened_exact_matching",
+    "dq_freshness_staleness_audit",
+    "stats_median_of_means",
+    "optimizer_independence_qerror",
+    "sql_decorrelation_equivalence",
+    "stats_simpsons_paradox_scan",
+    "format_csv_malformed_modes",
+    "regression_ransac_deterministic",
+    "sketch_bloom_fpr_audit",
+    "lakehouse_snapshot_diff_audit",
+    "ml_target_encoding_loo",
+    "ops_incident_cooccurrence_lift",
+    "ops_backoff_conformance_audit",
     "format_csv_dialect_battery",
-    "privacy_randomized_response_estimate",
-    "slo_multiwindow_burn_alerts",
-    "text_hapax_ratio_by_lang",
-    "sql_window_frame_default_trap",
-    "dq_ingestion_gap_detector",
-    "audit_price_round_number_bias",
-    "sql_nulls_ordering_battery",
+    "attribution_position_based",
+    "sql_grouping_id_rollup_decode",
+    "timeseries_best_split_changepoint",
+    "sql_pivot_quarterly_revenue",
+    "events_sliding_window_rate_limit",
+    "sim_ndcg_retrieval_eval",
+    "quality_expectation_suite",
+    "risk_block_maxima_return_level",
+    "privacy_generalization_ladder",
+    "finance_price_volume_mix",
+    "finance_day_count_conventions",
+    "inventory_eoq_batch_sizing",
+    "scd_aswas_vs_asis_revenue",
+    "sql_not_in_null_trap_battery",
+    "layout_zonemap_skipping_audit",
+    "audience_overlap_matrix",
+    "stat_quantile_mapping_transfer",
     "events_autocorrelation_daily",
+    "stats_effective_sample_size",
+    "layout_lsm_writeamp_economics",
+    "auction_uniform_price_clearing",
+    "finance_progressive_tax_brackets",
+    "stats_jackknife_ratio_variance",
+    "orders_priority_mix_shift",
+    "isotonic_regression_exact",
+    "ops_erlang_b_blocking",
+    "time_fiscal_calendar_rollup",
+    "web_url_canonical_dedup",
+    "search_phrase_positional_index",
     "ml_kfold_cv_accuracy",
-    "ml_calibration_reliability_bins",
-    "survival_km_hazard_table",
-    "fairness_selection_rate_audit",
-    "time_iso_week_battery",
-    "text_stopword_discovery",
-    "sampling_neyman_allocation",
+    "compression_rle_economics",
     "agg_mode_deterministic",
+    "ops_cron_schedule_expansion",
+    "optimizer_predicate_order_cost",
+    "finance_fx_triangulation_audit",
+    "survival_logrank_test",
+    "quality_shewhart_control_chart",
+    "corpus_drift_idf_shift",
+    "cdc_log_compaction",
+    "dist_rendezvous_hash_rebalance",
+    "trend_theil_sen_slope",
+    "regression_ols_exact",
+    "sql_range_vs_rows_frames",
+    "privacy_fpe_mask_audit",
+    "storage_delta_of_delta_gorilla",
+    "text_good_turing_mass",
+    "window_ntile_remainder_semantics",
+    "anomaly_hampel_filter_daily",
+    "fairness_selection_rate_audit",
+    "forecast_conformal_interval_audit",
+    "finance_amortization_schedule",
+    "geo_point_in_polygon_winding",
+    "pipeline_curriculum_stage_budgets",
+    "slo_multiwindow_burn_alerts",
+    "emb_triangle_inequality_audit",
+    "text_stopword_discovery",
+    "fairness_equalized_odds_audit",
+    "sql_window_frame_default_trap",
+    "layout_prefix_compression_audit",
+    "privacy_randomized_response_estimate",
+    "privacy_l_diversity_audit",
+    "pipeline_temperature_sampling_weights",
+    "experiment_sprt_daily_replay",
+    "ml_auc_feature_screen",
+    "dq_luhn_check_digit_audit",
+    "dq_ingestion_gap_detector",
+    "sql_null_ordering_battery",
+    "time_add_months_eom_battery",
+    "events_poisson_dispersion_test",
+    "experiment_srm_guardrail",
+    "ml_negative_sampling_audit",
+    "dedup_shard_strategy_audit",
+    "serving_decayed_leaderboard",
+    "timeseries_sax_motifs",
+    "timeseries_rolling_correlation",
+    "sql_explode_outer_battery",
+    "ml_gain_chart_deciles",
+    "search_autocomplete_prefix_topk",
+    "ml_mcnemar_paired_classifiers",
+    "time_t2_settlement_battery",
+    "pipeline_filter_attrition_funnel",
+    "alert_hysteresis_daily",
+    "sql_null_semantics_battery",
+    "ml_annotator_agreement_kappa",
+    "time_iso_week_battery",
+    "forecast_backtest_naive_vs_seasonal",
+    "text_hapax_ratio_by_lang",
+    "ml_calibration_reliability_bins",
+    "sampling_neyman_allocation",
+    "survival_km_hazard_table",
+    "events_weekday_hour_heatmap",
+    "audit_price_round_number_bias",
     "text_encoding_byte_audit",
     "slo_error_budget_burn",
 ]

@@ -249,8 +249,7 @@ def attribution_markov_removal(
         .unionByName(empty)
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=False)  # <= ~25-row transition matrix
-    )
+    )  # <= ~25-row transition matrix, collected exactly once below
     # Dimension-bounded model: the transition matrix is <= ~25 rows
     # (event types x {START, CONV, NULL}), so the 12-step x (channels+1)
     # value iteration runs DRIVER-SIDE under the bounded-collect

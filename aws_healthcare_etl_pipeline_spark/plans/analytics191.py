@@ -1014,15 +1014,12 @@ def search_wand_pruning_economics(
         (qid, tp) for qid, terms in _WAND_QUERIES for tp in terms
     ]
     qterms = spark.createDataFrame(qrows, "qid int, tp int")
+    # Broadcast the CONSTANT panels (15-row qterms, <=_WAND_TERMS-row
+    # maxtf) and keep the corpus-scale postings relation distributed —
+    # the build side must never be the relation that grows with SF.
     scored = (
-        qterms.join(
-            F.broadcast(
-                postings.select(
-                    F.col("p").alias("pp"), "doc_id", "tf"
-                )
-            ),
-            F.col("pp") == F.col("tp"),
-        )
+        postings.select(F.col("p").alias("pp"), "doc_id", "tf")
+        .join(F.broadcast(qterms), F.col("pp") == F.col("tp"))
         .join(
             F.broadcast(
                 maxtf.select(F.col("p").alias("mp"), "mtf")

@@ -186,8 +186,6 @@ def test_lpm_total_and_valid(spark, sf_dir):
     counts sum to the full events table; prefix lengths are from the
     declared ladder."""
     rows = _rows(spark, sf_dir, "net_longest_prefix_match")
-    events = REGISTRY["net_longest_prefix_match"]  # lengths checked below
-    assert events is not None
     total = sum(r.n_events for r in rows)
     n_events = (
         spark.read.parquet(f"{sf_dir}/events.parquet").count()
