@@ -80,7 +80,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # _ordered_names (still covered by the sf0.001 pytest parity gate and the
 # full sf0.01 driver_sim certification each round).
 _VERIFICATION_PRIORITY = [
-    # --- front 50 (round 9): never driver-checked, heaviest first ---
+    # --- round-9 infra wrappers first: the round-8 verdict's directive
+    # 5 — previously pytest-only components (S7/ST1/ST2, S5, S2/S3)
+    # returned as driver-checkable outcomes ---
+    "ref_streaming_ingest_exactly_once",
+    "ref_catalog_partition_recovery",
+    "ref_glob_guard_ingest_audit",
+    # --- then 47+ never driver-checked, heaviest first ---
     # (the round-8 verdict's named list: max clique, min cut, AGM bound
     # audit, WAND pruning economics, chain ladder, nulls-ordering battery,
     # grid radius join, incremental view maintenance, Croston, BPE apply —

@@ -1,0 +1,277 @@
+"""Driver-checkable wrapper queries for the infrastructure components
+that were previously pytest-only (round-8 verdict directive 5).
+
+Each query runs a real infrastructure path — streaming AvailableNow
+ingest (S7/ST1/ST2), catalog registration + partition recovery (S5),
+the object-vs-prefix glob/CSV guard (S2/S3) — inside a temp workspace
+and returns its OUTCOME as a small DataFrame whose values are fully
+determined by the fixture tables, so the standard DuckDB oracle gate
+applies. Pattern: `ref_ingest_roundtrip` (plans/reference.py:60-87) —
+bounded group-by results are materialized before the temp dir is
+removed.
+
+Reference parity being exercised:
+  - EventBridge->Lambda one-run-per-file event flow ... main.tf:182-252
+  - at-least-once -> exactly-once upgrade ............. glue_job_script.py:51
+  - Glue database + 15-min crawler .................... main.tf:114-204
+  - non-CSV guard / object-vs-prefix resolution ....... glue_job_script.py:33-37
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import refresh_partitions, register_parquet_table
+from ..sources.csv_ingest import IngestConfig, ingest_csv
+from ..sources.tables import load_table
+from ..streaming.ingest_stream import start_incremental_ingest
+from .registry import query
+
+
+def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a BOUNDED (already-aggregated) result so it survives the
+    temp workspace teardown. Bounded-collect contract: every caller
+    passes a grouped relation with at most tens of rows."""
+    rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)
+
+
+@query(
+    "ref_streaming_ingest_exactly_once",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS num_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="S7/ST1/ST2 as a driver-checkable outcome: three CSV "
+    "files (lineitem split by l_returnflag) land in an incoming dir "
+    "across TWO AvailableNow runs sharing one checkpoint — run 1 sees "
+    "files A and R, run 2 sees only the newly-arrived N. The streaming "
+    "file source's checkpointed file log must process each file exactly "
+    "once (the upgrade over the reference's at-least-once retry, "
+    "glue_job_script.py:51 / main.tf:150): re-ingest of A or R in run 2 "
+    "would double their counts and a missed batch_N would zero it — "
+    "either fails the hash. Scale: one distributed group-by on "
+    "the curated parquet; only the <=3-row audit is collected.",
+)
+def ref_streaming_ingest_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    work = tempfile.mkdtemp(prefix="stream_rt_")
+    try:
+        raw = os.path.join(work, "raw")
+        incoming = os.path.join(raw, "incoming")
+        curated = os.path.join(work, "curated")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(incoming)
+        for flag in ("A", "R"):
+            li.where(F.col("l_returnflag") == flag).write.option(
+                "header", True
+            ).csv(os.path.join(incoming, f"batch_{flag}"))
+        cfg = IngestConfig(
+            raw_root=raw,
+            curated_root=curated,
+            raw_prefix="incoming/*",
+            schema=li.schema,
+            ingest_date="2026-01-01",
+        )
+        q = start_incremental_ingest(spark, cfg, li.schema, ckpt)
+        q.awaitTermination()
+        # second arrival AFTER the first run finished; same checkpoint
+        li.where(F.col("l_returnflag") == "N").write.option(
+            "header", True
+        ).csv(os.path.join(incoming, "batch_N"))
+        q2 = start_incremental_ingest(spark, cfg, li.schema, ckpt)
+        q2.awaitTermination()
+        curated_df = spark.read.parquet(cfg.output_path)
+        # A re-processed file in run 2 (broken exactly-once) doubles the
+        # A/R counts; a missed batch_N zeroes N — either fails the hash.
+        audit = (
+            curated_df.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("num_rows"))
+            .orderBy("l_returnflag")
+        )
+        return _materialized(spark, audit)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "ref_catalog_partition_recovery",
+    oracle="""
+        SELECT '2026-02-0' || SUBSTR(o_orderpriority, 1, 1) AS ingest_date,
+               COUNT(*) AS num_rows
+        FROM orders
+        GROUP BY 1
+        ORDER BY ingest_date
+    """,
+    description="S5 as a driver-checkable outcome: orders are written "
+    "as hive-partitioned parquet (ingest_date derived from the order "
+    "priority digit) in two waves — priorities 1-2 exist when the "
+    "table is registered (crawler parity, main.tf:196-204), priorities "
+    "3-5 land AFTER registration and only become queryable via "
+    "recoverPartitions (MSCK). The query reads through spark.table(), "
+    "so missing recovery loses three partitions and fails the row "
+    "count; schema inference from files is exercised by registration. "
+    "Scale: both writes and the final group-by are distributed; only "
+    "the 5-row result is collected.",
+)
+def ref_catalog_partition_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.concat(
+            F.lit("2026-02-0"), F.substring("o_orderpriority", 1, 1)
+        ).alias("ingest_date"),
+    )
+    work = tempfile.mkdtemp(prefix="catalog_rt_")
+    try:
+        loc = os.path.join(work, "curated")
+        early = F.substring("ingest_date", 10, 1).cast("int") <= 2
+        orders.where(early).write.partitionBy("ingest_date").parquet(loc)
+        fq = register_parquet_table(
+            spark, "ref_infra_db", "orders_curated", loc
+        )
+        # late partitions: written straight to the location, invisible
+        # to the catalog until recovery
+        orders.where(~early).write.mode("append").partitionBy(
+            "ingest_date"
+        ).parquet(loc)
+        refresh_partitions(spark, fq)
+        audit = (
+            spark.table(fq)
+            .groupBy(F.col("ingest_date").cast("string").alias("ingest_date"))
+            .agg(F.count(F.lit(1)).cast("long").alias("num_rows"))
+            .orderBy("ingest_date")
+        )
+        out = _materialized(spark, audit)
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "ref_glob_guard_ingest_audit",
+    oracle="""
+        SELECT * FROM (
+            SELECT 'object_csv' AS source,
+                   COUNT(*) FILTER (WHERE c_nationkey >= 10) AS num_rows,
+                   CAST(0 AS BIGINT) AS skipped
+            FROM customer
+            UNION ALL
+            SELECT 'object_noncsv', CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+            UNION ALL
+            SELECT 'prefix_csv_only',
+                   COUNT(*) FILTER (WHERE c_nationkey < 10),
+                   CAST(0 AS BIGINT)
+            FROM customer
+        ) ORDER BY source
+    """,
+    description="S2/S3 as a driver-checkable outcome: an incoming "
+    "prefix holds two real CSV directories (customer split at "
+    "nationkey 10) plus planted non-CSV decoys (.txt/.json with "
+    "CSV-shaped garbage). The prefix ingest must pick up ONLY *.csv "
+    "(pathGlobFilter, csv_ingest.py:91) — decoy rows leaking in would "
+    "inflate prefix_csv_only; the single-object path must ingest a "
+    "named .csv and skip a named .dat via the extension guard "
+    "(glue_job_script.py:33-37) with exit-0 semantics. Scale: ingests "
+    "and counts are distributed; the 3-row audit is collected.",
+)
+def ref_glob_guard_ingest_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    work = tempfile.mkdtemp(prefix="glob_rt_")
+    try:
+        raw = os.path.join(work, "raw")
+        incoming = os.path.join(raw, "incoming")
+        os.makedirs(incoming)
+        staged = os.path.join(work, "staged_a")
+        cust.where(F.col("c_nationkey") < 10).write.option(
+            "header", True
+        ).csv(staged)
+        # flatten the part files into the incoming prefix so the scan
+        # target is a flat dir of *.csv objects plus the decoys (the
+        # reference's S3 prefix layout, not a Spark output dir)
+        for i, p in enumerate(sorted(os.listdir(staged))):
+            if p.startswith("part-") and p.endswith(".csv"):
+                os.replace(
+                    os.path.join(staged, p),
+                    os.path.join(incoming, f"good_{i:04d}.csv"),
+                )
+        # a single S3 object is one file: coalesce(1) is test-shaped
+        side = os.path.join(work, "object_side")
+        cust.where(F.col("c_nationkey") >= 10).coalesce(1).write.option(
+            "header", True
+        ).csv(side)
+        part = next(
+            p for p in os.listdir(side)
+            if p.startswith("part-") and p.endswith(".csv")
+        )
+        os.replace(
+            os.path.join(side, part), os.path.join(raw, "single.csv")
+        )
+        # planted decoys: static content, never fixture-scale
+        for name in ("decoy.txt", "decoy.json"):
+            with open(os.path.join(incoming, name), "w") as fh:
+                fh.write("c_custkey,c_nationkey,c_acctbal\n9,9,9.0\n")
+        with open(os.path.join(raw, "single.dat"), "w") as fh:
+            fh.write("not,a,csv\n")
+
+        results: list[tuple[str, int, int]] = []
+        prefix_out = ingest_csv(
+            spark,
+            IngestConfig(
+                raw_root=raw,
+                curated_root=os.path.join(work, "curated_prefix"),
+                raw_prefix="incoming/",
+                schema=cust.schema,
+                ingest_date="2026-01-01",
+            ),
+        )
+        n_prefix = spark.read.parquet(prefix_out).count()
+        results.append(("prefix_csv_only", n_prefix, 0))
+        obj_out = ingest_csv(
+            spark,
+            IngestConfig(
+                raw_root=raw,
+                curated_root=os.path.join(work, "curated_obj"),
+                object_key="single.csv",
+                schema=cust.schema,
+                ingest_date="2026-01-01",
+            ),
+        )
+        n_obj = spark.read.parquet(obj_out).count()
+        results.append(("object_csv", n_obj, 0))
+        skipped_out = ingest_csv(
+            spark,
+            IngestConfig(
+                raw_root=raw,
+                curated_root=os.path.join(work, "curated_skip"),
+                object_key="single.dat",
+                schema=cust.schema,
+                ingest_date="2026-01-01",
+            ),
+        )
+        results.append(
+            ("object_noncsv", 0, 1 if skipped_out is None else 0)
+        )
+        return spark.createDataFrame(
+            sorted(results), "source string, num_rows long, skipped long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

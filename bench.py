@@ -518,63 +518,67 @@ HEADLINE = [
     "privacy_unicity_two_points",
     "search_wand_pruning_economics",
     "text_mattr_lexical_diversity",
+    # wave 213 (round 9): infra components as driver-checkable outcomes
+    "ref_streaming_ingest_exactly_once",
+    "ref_catalog_partition_recovery",
+    "ref_glob_guard_ingest_audit",
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
-# (round 7 close, sf0.1) — all guaranteed a warm steady-state
+# (round 8 close, sf0.1) — all guaranteed a warm steady-state
 # measurement every round. Regenerate when the heavy tail shifts:
 # sorted(BENCH_DETAIL["queries"], key=-time)[:50].
 _HOT_GUARANTEED = [
-    "pipeline_refinery_capstone_v2",
     "graph_sssp_khop_cheapest",
+    "timeseries_dtw_monthly",
     "dedup_method_agreement",
     "sim_pq_adc_topk",
-    "timeseries_dtw_monthly",
+    "pipeline_refinery_capstone_v2",
     "graph_mst_boruvka",
-    "basket_apriori_triples",
-    "dedup_containment_asymmetric",
-    "attribution_markov_removal",
-    "approx_count_sketch_signed",
     "graph_clustering_coefficient",
-    "dedup_minhash_lsh_pairs",
+    "approx_count_sketch_signed",
     "graph_dag_critical_path",
-    "multimodal_audio_pitch_autocorr",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
     "emb_knn_distance_outliers",
-    "graph_functional_cycle_structure",
-    "graph_triangle_count",
+    "dedup_containment_asymmetric",
+    "emb_jl_projection_distortion",
     "scheduling_knapsack_exact",
-    "seq_lcs_monthly_baskets",
-    "graph_kcore_rounds",
-    "search_prf_query_expansion",
-    "approx_f2_moment_sketch",
-    "emb_knn_label_accuracy",
-    "scheduling_weighted_interval_dp",
-    "streaming_scd2_upsert",
+    "graph_functional_cycle_structure",
+    "dedup_shingle_size_sensitivity",
+    "basket_apriori_triples",
     "dq_foreign_key_inference",
-    "cache_lru_hit_rate",
-    "cf_recommendation_coverage",
+    "events_heavy_hitters_mg_replay",
+    "graph_triangle_count",
+    "graph_personalized_pagerank",
     "revenue_recognition_schedule",
     "layout_sort_order_rle_bakeoff",
-    "rank_elo_lut_replay",
-    "basket_association_rules",
-    "stat_kruskal_wallis_ranksums",
-    "graph_eccentricity_diameter",
-    "join_bucketed_colocated",
-    "inventory_leadtime_demand_convolution",
-    "eval_pass_at_k_estimator",
-    "dedup_ngram_jaccard_pairs",
-    "graph_triangle_sample_estimator",
-    "stat_mood_dispersion_test",
-    "geo_dbscan_grid_clusters",
-    "emb_power_iteration_top_eigen",
-    "ml_capstone_nb_threshold_fairness",
-    "graph_two_hop_reach_panel",
+    "graph_hits_bipartite_counts",
     "fuzzy_name_matches",
+    "encoding_huffman_5symbol_exact",
+    "stat_spearman_rank_correlation",
+    "join_bucketed_colocated",
+    "rank_elo_lut_replay",
+    "cache_lru_hit_rate",
+    "search_prf_query_expansion",
+    "graph_kcore_rounds",
+    "ml_capstone_nb_threshold_fairness",
+    "seq_lcs_monthly_baskets",
+    "cf_item_item_topk",
+    "emb_knn_label_accuracy",
+    "seq_lis_per_customer",
+    "finance_order_total_reconciliation",
+    "multimodal_audio_pitch_autocorr",
+    "stats_histogram_selectivity_audit",
     "dedup_threshold_yield_curve",
-    "q18_large_volume_customers",
-    "ref_ingest_roundtrip",
-    "approx_hdr_histogram_quantile_audit",
-    "ml_adaboost_two_round_stumps",
+    "emb_mmr_diversified_topk",
+    "streaming_scd2_upsert",
+    "graph_health_card",
+    "dedup_cross_source_matrix",
+    "stat_kruskal_wallis_ranksums",
+    "events_markov_stationary_power",
+    "ml_roc_threshold_sweep",
+    "finance_stepdown_allocation",
 ]
 
 
@@ -583,7 +587,7 @@ _HOT_GUARANTEED = [
 # headline query gets a warm min-of-2 measurement every ~5 rounds
 # without the full suite ever exceeding the wall budget.
 _CORE_SIZE = 75
-_CORE_ROTATION = 8  # bump per round
+_CORE_ROTATION = 9  # bump per round
 
 # Always-warm CANARY set (round 7): a FIXED, stratified 27-query panel
 # (equi/bucketed/interval/fuzzy joins, windows, exact+fuzzy dedup,
@@ -627,6 +631,42 @@ _CANARY = [
     "timeseries_dtw_monthly",
     "scheduling_knapsack_exact",
 ]
+
+
+def _calibration_sec(spark, runs: int) -> tuple[float, list[float]]:
+    """Host-speed probe (round 9): a FIXED synthetic shuffle-agg that
+    touches no repo data — ``spark.range(3e8)`` hashed to 1M keys,
+    partial-agg'd, shuffled, noop-sunk. Runs FIRST in every bench pass
+    (one untimed warmup, then min-of-``runs``), so cross-round ratios
+    can be normalized by relative host speed instead of requiring the
+    round-8-style forensic adjudication of uniform environmental
+    shifts. The workload is pinned: changing it invalidates the
+    normalization, so treat this body as frozen.
+    """
+    from pyspark.sql import functions as F
+
+    def build():
+        return (
+            spark.range(300_000_000)
+            .select(
+                (F.col("id") % 1_000_000).alias("k"),
+                ((F.col("id") * 2654435761) % 2147483647).alias("v"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.max("v").alias("m"),
+            )
+        )
+
+    build().write.format("noop").mode("overwrite").save()  # warmup
+    raw: list[float] = []
+    for _ in range(max(2, runs)):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        raw.append(round(time.perf_counter() - t0, 3))
+    return min(raw), raw
 
 
 def main() -> None:
@@ -701,6 +741,8 @@ def main() -> None:
         + [q for q in HEADLINE if q in warm_set and q not in canary_set]
         + [q for q in HEADLINE if q not in warm_set]
     )
+    calibration, calibration_raw = _calibration_sec(spark, runs)
+    print(f"# calibration: {calibration:.2f}s {calibration_raw}", file=sys.stderr)
     bench_t0 = time.perf_counter()
     single_run_tail = 0
     budget_forced = 0
@@ -762,6 +804,8 @@ def main() -> None:
         # every timed run (not just the min): makes in-suite noise —
         # observed up to 2-3x on this shared box — diagnosable post hoc
         "raw_runs": raw_runs,
+        "calibration_sec": calibration,
+        "calibration_raw": calibration_raw,
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -786,6 +830,7 @@ def main() -> None:
         "warm_tier": len(timings) - single_run_tail,
         "single_run_tail": single_run_tail,
         "budget_forced": budget_forced,
+        "calibration_sec": calibration,
         "canary_over_budget": canary_over_budget,
         "canary_n": len([q for q in canaries if q in timings]),
         "detail": "BENCH_DETAIL.json",
