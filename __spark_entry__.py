@@ -86,7 +86,24 @@ _VERIFICATION_PRIORITY = [
     "ref_streaming_ingest_exactly_once",
     "ref_catalog_partition_recovery",
     "ref_glob_guard_ingest_audit",
-    # --- then 47+ never driver-checked, heaviest first ---
+    # --- wave-213 queries (round 9), oracle-verified at sf0.001/0.01
+    # before registration; driver rows land the same round (r8 wave
+    # pattern) ---
+    "text_source_divergence_chi2",
+    "sched_johnson_two_machine_makespan",
+    "storage_for_bitpacking_economics",
+    "stat_wasserstein_1d_exact",
+    "sql_skyline_pareto_frontier",
+    "interval_union_coverage",
+    "stats_theil_u_forecast_eval",
+    "sql_percentile_cont_disc_battery",
+    "alloc_water_filling_levels",
+    "inventory_lifo_vs_fifo_valuation",
+    "sql_arrays_zip_semantics_battery",
+    "finance_wash_sale_detector",
+    # --- then the never-driver-checked backlog, heaviest first (the
+    # r8 verdict's named list leads; ~35 fit in this round's window,
+    # the rest lead the next rotation) ---
     # (the round-8 verdict's named list: max clique, min cut, AGM bound
     # audit, WAND pruning economics, chain ladder, nulls-ordering battery,
     # grid radius join, incremental view maintenance, Croston, BPE apply —

@@ -522,6 +522,19 @@ HEADLINE = [
     "ref_streaming_ingest_exactly_once",
     "ref_catalog_partition_recovery",
     "ref_glob_guard_ingest_audit",
+    # wave 213 (round 9): new analytics
+    "text_source_divergence_chi2",
+    "sched_johnson_two_machine_makespan",
+    "storage_for_bitpacking_economics",
+    "stat_wasserstein_1d_exact",
+    "sql_skyline_pareto_frontier",
+    "interval_union_coverage",
+    "stats_theil_u_forecast_eval",
+    "sql_percentile_cont_disc_battery",
+    "alloc_water_filling_levels",
+    "inventory_lifo_vs_fifo_valuation",
+    "sql_arrays_zip_semantics_battery",
+    "finance_wash_sale_detector",
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
