@@ -915,3 +915,69 @@ def test_wave212_plan_pins(spark, sf_dir):
         REGISTRY["alloc_airport_game_shapley"].fn(spark, sf_dir)
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---- wave-213 (round 9) plan pins ----
+
+
+def test_skyline_has_no_self_join(spark, sf_dir):
+    """The skyline uses the O(n log n) window formulation: exactly one
+    scan of lineitem, no join of the point relation with itself (the
+    quadratic NOT-EXISTS shape lives only in the oracle)."""
+    plan = physical_plan(
+        REGISTRY["sql_skyline_pareto_frontier"].fn(spark, sf_dir)
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_wash_sale_semi_join_is_equi_keyed(spark, sf_dir):
+    """The repurchase window must plan as a LeftSemi join with
+    hash-partitionable equality keys (custkey, partkey) and the date
+    window as a residual condition — never a cartesian/broadcast
+    nested loop over the fact side."""
+    plan = physical_plan(
+        REGISTRY["finance_wash_sale_detector"].fn(spark, sf_dir)
+    )
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bitpack_blocks_have_no_global_window(spark, sf_dir):
+    """Block assignment is a derived key (orderkey div N) feeding a
+    hash aggregate — no Window operator, no global sort of the fact
+    table."""
+    plan = physical_plan(
+        REGISTRY["storage_for_bitpacking_economics"].fn(spark, sf_dir)
+    )
+    assert "Window" not in plan, plan
+
+
+def test_interval_coverage_windows_partition_on_custkey(spark, sf_dir):
+    """Both sweep windows must carry the o_custkey partition spec —
+    an unpartitioned island sweep would funnel all orders into one
+    task at 100 TB."""
+    plan = physical_plan(
+        REGISTRY["interval_union_coverage"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition(o_custkey" in plan, plan
+
+
+def test_lifo_fifo_windows_partition_on_partkey(spark, sf_dir):
+    """Lot accumulation partitions on l_partkey (high cardinality);
+    no unpartitioned window anywhere in the plan."""
+    plan = physical_plan(
+        REGISTRY["inventory_lifo_vs_fifo_valuation"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition(l_partkey" in plan, plan
+
+
+def test_chi2_joins_broadcast_bounded_panels(spark, sf_dir):
+    """The vocab/totals panels are bounded: the fact-scale token
+    relation must never be a broadcast build side (only the bounded
+    grid relations broadcast)."""
+    plan = physical_plan(
+        REGISTRY["text_source_divergence_chi2"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
