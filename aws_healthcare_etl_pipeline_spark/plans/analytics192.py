@@ -463,12 +463,16 @@ def stat_wasserstein_1d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct parts), both maximized: a supplier survives iff no other "
     "weakly dominates it with at least one strict improvement. The "
     "oracle uses the quadratic NOT-EXISTS definition; the Spark plan "
-    "uses the O(n log n) sort-free WINDOW formulation — dominated iff "
-    "max(n_parts) over strictly-higher revenue >= own n_parts, or "
-    "max(n_parts) over equal revenue > own — an independent "
-    "formulation whose exact agreement (ties included) is the test. "
-    "Scale: one fact group-by, then RANGE-frame windows over the "
-    "supplier relation; no self-join anywhere on the Spark side.",
+    "uses an independent LINEAR formulation — reduce to max(n_parts) "
+    "per distinct revenue, take an incremental ROWS-frame running max "
+    "down the revenue order (= best n_parts among strictly higher "
+    "revenues), and join back: dominated iff that running max >= own "
+    "n_parts, or the same-revenue max > own. Exact agreement (ties "
+    "included) is the test. A RANGE frame with a moving bound was the "
+    "first cut and measured O(n^2) (sf1->sf3 exp 1.36 — Spark "
+    "re-aggregates a shrinking RANGE frame per row); the ROWS-frame "
+    "running max is computed incrementally, restoring linearity. "
+    "No self-join anywhere on the Spark side.",
 )
 def sql_skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -476,18 +480,19 @@ def sql_skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice") * 100).cast("long").alias("revenue_cents"),
         F.count_distinct("l_partkey").cast("long").alias("n_parts"),
     )
-    higher = (
-        Window.orderBy("revenue_cents")
-        .rangeBetween(1, Window.unboundedFollowing)
+    by_rev = pts.groupBy("revenue_cents").agg(
+        F.max("n_parts").alias("y_at_rev")
     )
-    equal = Window.partitionBy("revenue_cents")
-    dominated = (
-        F.coalesce(
-            F.max("n_parts").over(higher) >= F.col("n_parts"), F.lit(False)
-        )
-    ) | (F.max("n_parts").over(equal) > F.col("n_parts"))
+    w_desc = Window.orderBy(F.desc("revenue_cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lvl = by_rev.withColumn("y_above", F.max("y_at_rev").over(w_desc))
+    dominated = F.coalesce(
+        F.col("y_above") >= F.col("n_parts"), F.lit(False)
+    ) | (F.col("y_at_rev") > F.col("n_parts"))
     return (
-        pts.withColumn("_dom", dominated)
+        pts.join(lvl, "revenue_cents")
+        .withColumn("_dom", dominated)
         .where(~F.col("_dom"))
         .select(
             F.col("l_suppkey").cast("long").alias("suppkey"),
