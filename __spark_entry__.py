@@ -101,6 +101,12 @@ _VERIFICATION_PRIORITY = [
     "inventory_lifo_vs_fifo_valuation",
     "sql_arrays_zip_semantics_battery",
     "finance_wash_sale_detector",
+    # --- wave-213b (round 9, part 3), same-round verified ---
+    "dedup_cluster_survivor_accounting",
+    "net_cidr_supernet_aggregation",
+    "sql_agg_filter_clause_battery",
+    "text_vocab_coverage_oov",
+    "search_err_cascade_metric",
     # --- then the never-driver-checked backlog, heaviest first (the
     # r8 verdict's named list leads; ~35 fit in this round's window,
     # the rest lead the next rotation) ---

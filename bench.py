@@ -535,6 +535,12 @@ HEADLINE = [
     "inventory_lifo_vs_fifo_valuation",
     "sql_arrays_zip_semantics_battery",
     "finance_wash_sale_detector",
+    # wave 213b (round 9, part 3)
+    "dedup_cluster_survivor_accounting",
+    "net_cidr_supernet_aggregation",
+    "sql_agg_filter_clause_battery",
+    "text_vocab_coverage_oov",
+    "search_err_cascade_metric",
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL

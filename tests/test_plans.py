@@ -984,3 +984,29 @@ def test_chi2_joins_broadcast_bounded_panels(spark, sf_dir):
         REGISTRY["text_source_divergence_chi2"].fn(spark, sf_dir)
     )
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cidr_assignment_is_equi_join(spark, sf_dir):
+    """The completeness containment join runs on the derived (k, blk)
+    equality keys — hash-partitionable; never a nested-loop or
+    cartesian over the prefix relation."""
+    plan = physical_plan(
+        REGISTRY["net_cidr_supernet_aggregation"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    # the only nested loops allowed are the 8-row level-panel
+    # broadcasts (one per consumer branch), always BuildRight on lv
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # the completeness join itself must be a hash join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_oov_coverage_broadcasts_vocab(spark, sf_dir):
+    """The bounded vocab must be the broadcast side of the coverage
+    join — the fact-scale token relation never becomes a build side
+    or shuffles twice."""
+    plan = physical_plan(
+        REGISTRY["text_vocab_coverage_oov"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

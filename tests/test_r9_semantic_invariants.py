@@ -241,3 +241,83 @@ def test_glob_guard_partition(spark, sf_dir):
     assert rows["prefix_csv_only"].num_rows + rows["object_csv"].num_rows == n_cust
     assert rows["object_noncsv"].num_rows == 0
     assert rows["object_noncsv"].skipped == 1
+
+
+# ---- wave-213b (round 9, part 3) ----
+
+
+def test_survivor_accounting_conservation(spark, sf_dir):
+    """Every cluster has >= 2 docs (it exists because of a pair) and
+    exactly one survivor, so dropped = clustered - clusters per lang;
+    dropped chars are positive when anything is dropped."""
+    rows = _rows(spark, sf_dir, "dedup_cluster_survivor_accounting")
+    assert rows
+    for r in rows:
+        assert r.n_clusters >= 1
+        assert r.n_clustered_docs >= 2 * r.n_clusters
+        assert r.n_dropped == r.n_clustered_docs - r.n_clusters
+        assert (r.chars_dropped > 0) == (r.n_dropped > 0)
+
+
+def test_cidr_aggregation_sound(spark, sf_dir):
+    """Prefix lengths stay within [17, 24]; total /24 coverage equals
+    the distinct /24 count (every route assigned exactly once); at a
+    given length, n_routes * 2^(24-len) == n_slash24_covered."""
+    rows = _rows(spark, sf_dir, "net_cidr_supernet_aggregation")
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    n24 = (
+        ev.select(
+            F.expr(
+                "10 * 65536 + (user_id div 256) % 256 * 256"
+                " + user_id % 256"
+            ).alias("p")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_slash24_covered for r in rows) == n24
+    for r in rows:
+        assert 17 <= r.prefix_len <= 24
+        assert (
+            r.n_routes * (1 << (24 - r.prefix_len)) == r.n_slash24_covered
+        )
+
+
+def test_filter_clause_empty_semantics(spark, sf_dir):
+    """The impossible predicate (qty > 100) must yield NULL for SUM
+    FILTER and 0 for COUNT FILTER — the ANSI distinction; count_if
+    and boolean aggregates stay within group counts."""
+    rows = _rows(spark, sf_dir, "sql_agg_filter_clause_battery")
+    assert len(rows) == 3
+    for r in rows:
+        assert r.impossible_sum is None
+        assert r.impossible_count == 0
+        assert 0 <= r.n_bulk
+        assert r.bulk_qty is None or r.bulk_qty >= 26 * r.n_bulk
+        assert r.every_pos is True
+
+
+def test_oov_rate_bounds(spark, sf_dir):
+    """OOV count never exceeds token count; basis points reproduce
+    the integer division; training sources have strictly lower OOV
+    than the max (their own tokens built the vocab) unless all rates
+    are equal."""
+    rows = _rows(spark, sf_dir, "text_vocab_coverage_oov")
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_bp == r.n_oov * 10000 // r.n_tokens
+
+
+def test_err_cascade_bounds(spark, sf_dir):
+    """ERR lies in [0, 1] (it is an expectation of 1/rank); a brand
+    with k ranked parts reports exactly min(k, 10) grades; err is
+    monotone under the cascade: no brand exceeds R_max * H_10."""
+    rows = _rows(spark, sf_dir, "search_err_cascade_metric")
+    assert rows
+    for r in rows:
+        assert 1 <= r.k <= 10
+        assert 0 <= r.err_p15 <= 10**15
