@@ -107,6 +107,10 @@ def text_source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.crossJoin(F.broadcast(totals))
         .join(counts, ["word", "source"], "left")
         .select("word", "source", "t", F.coalesce("c", F.lit(0)).alias("c"))
+        # bounded at vocab x sources (~800 rows) but fed by the
+        # fact-scale token-count pipeline: materialize once so the
+        # a/b self-join below doesn't recompute counts on both sides
+        .localCheckpoint(eager=False)
     )
     a, b = grid.alias("a"), grid.alias("b")
     pa = F.col("a.c") / F.col("a.t").cast("double")
@@ -365,11 +369,11 @@ def storage_for_bitpacking_economics(
         )
         SELECT nr, na,
                CAST(COUNT(*) AS BIGINT) AS n_values,
-               CAST(SUM(CAST(
+               CAST(SUM(CAST(FLOOR(
                    abs(cum_r / CAST(nr AS DOUBLE)
                        - cum_a / CAST(na AS DOUBLE))
-                   * CAST(gap AS DOUBLE) AS DECIMAL(25,10))
-               ) AS DOUBLE) AS w1_cents
+                   * CAST(gap AS DOUBLE) * 1e10) AS BIGINT)
+               ) AS DOUBLE) / 1e10 AS w1_cents
         FROM steps CROSS JOIN tot
         WHERE gap IS NOT NULL
         GROUP BY nr, na
@@ -379,7 +383,9 @@ def storage_for_bitpacking_economics(
     "accepted (A) lineitems: W1 = integral |F_R - F_A| dv over the "
     "cents domain, computed as the sorted-merge sum of |ECDF gap| x "
     "value step. Per-step doubles are identical-operand-identical-"
-    "order IEEE ops; the DECIMAL(25,10) quantization makes the sum "
+    "order IEEE ops; each term is floor-quantized to an integer at "
+    "1e-10 resolution (the chi2/ERR pattern — never round doubles "
+    "through decimal casts cross-engine) so the sum is "
     "order-insensitive. Scale: one group-by on cents value, then a "
     "window over the DOMAIN-bounded value relation (price domain "
     "saturates — the bounded-spine window pattern).",
@@ -418,19 +424,20 @@ def stat_wasserstein_1d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap").isNotNull())
         .crossJoin(F.broadcast(tot))
     )
-    term = (
+    term = F.floor(
         F.abs(
             F.col("cum_r") / F.col("nr").cast("double")
             - F.col("cum_a") / F.col("na").cast("double")
         )
         * F.col("gap").cast("double")
-    ).cast("decimal(25,10)")
+        * F.lit(1e10)
+    ).cast("long")
     return steps.groupBy(
         F.col("nr").cast("long").alias("nr"),
         F.col("na").cast("long").alias("na"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_values"),
-        F.sum(term).cast("double").alias("w1_cents"),
+        (F.sum(term).cast("double") / F.lit(1e10)).alias("w1_cents"),
     )
 
 
@@ -467,7 +474,10 @@ def stat_wasserstein_1d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per distinct revenue, take an incremental ROWS-frame running max "
     "down the revenue order (= best n_parts among strictly higher "
     "revenues), and join back: dominated iff that running max >= own "
-    "n_parts, or the same-revenue max > own. Exact agreement (ties "
+    "n_parts, or the same-revenue max > own. The running max is "
+    "two-staged so no growing relation funnels into one task: a "
+    "bucket-partitioned ROWS window plus a single-task carry window "
+    "over the ~1000x-smaller bucket spine. Exact agreement (ties "
     "included) is the test. A RANGE frame with a moving bound was the "
     "first cut and measured O(n^2) (sf1->sf3 exp 1.36 — Spark "
     "re-aggregates a shrinking RANGE frame per row); the ROWS-frame "
@@ -483,13 +493,36 @@ def sql_skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_rev = pts.groupBy("revenue_cents").agg(
         F.max("n_parts").alias("y_at_rev")
     )
-    w_desc = Window.orderBy(F.desc("revenue_cents")).rowsBetween(
+    # Two-stage running max so no growing relation funnels into one
+    # task: stage 1 runs the ROWS-frame running max PARTITIONED by a
+    # coarse revenue bucket (parallel, incremental); stage 2 computes
+    # the carry-in from strictly-higher buckets on the bucket spine —
+    # one row per bucket (domain/1e7 rows), the only single-task
+    # window, ~1000x smaller than the distinct-revenue relation.
+    _BUCKET = 10_000_000  # $100k of revenue per bucket
+    by_rev = by_rev.withColumn(
+        "bkt", F.floor(F.col("revenue_cents") / F.lit(_BUCKET))
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("revenue_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lvl1 = by_rev.withColumn("y_in", F.max("y_at_rev").over(w_in))
+    spine = by_rev.groupBy("bkt").agg(F.max("y_at_rev").alias("b_max"))
+    w_b = Window.orderBy(F.desc("bkt")).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    lvl = by_rev.withColumn("y_above", F.max("y_at_rev").over(w_desc))
-    dominated = F.coalesce(
-        F.col("y_above") >= F.col("n_parts"), F.lit(False)
-    ) | (F.col("y_at_rev") > F.col("n_parts"))
+    spine = spine.withColumn("carry", F.max("b_max").over(w_b)).select(
+        "bkt", "carry"
+    )
+    lvl = lvl1.join(spine, "bkt").withColumn(
+        "y_above", F.greatest(F.coalesce("y_in", F.lit(-1)),
+                              F.coalesce("carry", F.lit(-1)))
+    )
+    dominated = (F.col("y_above") >= F.col("n_parts")) | (
+        F.col("y_at_rev") > F.col("n_parts")
+    )
     return (
         pts.join(lvl, "revenue_cents")
         .withColumn("_dom", dominated)

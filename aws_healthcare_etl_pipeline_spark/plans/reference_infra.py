@@ -136,12 +136,17 @@ def ref_catalog_partition_recovery(
         ).alias("ingest_date"),
     )
     work = tempfile.mkdtemp(prefix="catalog_rt_")
+    # table name derived from the temp-dir suffix: concurrent sessions
+    # sharing a metastore get independent tables, and the finally-scoped
+    # DROP below can't leak a fixed-name entry pointing at a deleted dir
+    table = f"orders_curated_{os.path.basename(work)[len('catalog_rt_'):]}"
+    fq = None
     try:
         loc = os.path.join(work, "curated")
         early = F.substring("ingest_date", 10, 1).cast("int") <= 2
         orders.where(early).write.partitionBy("ingest_date").parquet(loc)
         fq = register_parquet_table(
-            spark, "ref_infra_db", "orders_curated", loc
+            spark, "ref_infra_db", table, loc
         )
         # late partitions: written straight to the location, invisible
         # to the catalog until recovery
@@ -155,10 +160,13 @@ def ref_catalog_partition_recovery(
             .agg(F.count(F.lit(1)).cast("long").alias("num_rows"))
             .orderBy("ingest_date")
         )
-        out = _materialized(spark, audit)
-        spark.sql(f"DROP TABLE IF EXISTS {fq}")
-        return out
+        return _materialized(spark, audit)
     finally:
+        if fq is not None:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            except Exception:
+                pass
         shutil.rmtree(work, ignore_errors=True)
 
 
