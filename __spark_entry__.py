@@ -80,70 +80,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # _ordered_names (still covered by the sf0.001 pytest parity gate and the
 # full sf0.01 driver_sim certification each round).
 _VERIFICATION_PRIORITY = [
-    # --- round-9 infra wrappers first: the round-8 verdict's directive
-    # 5 — previously pytest-only components (S7/ST1/ST2, S5, S2/S3)
-    # returned as driver-checkable outcomes ---
-    "ref_streaming_ingest_exactly_once",
-    "ref_catalog_partition_recovery",
-    "ref_glob_guard_ingest_audit",
-    # --- wave-213 queries (round 9), oracle-verified at sf0.001/0.01
-    # before registration; driver rows land the same round (r8 wave
-    # pattern) ---
-    "text_source_divergence_chi2",
-    "sched_johnson_two_machine_makespan",
-    "storage_for_bitpacking_economics",
-    "stat_wasserstein_1d_exact",
-    "sql_skyline_pareto_frontier",
-    "interval_union_coverage",
-    "stats_theil_u_forecast_eval",
-    "sql_percentile_cont_disc_battery",
-    "alloc_water_filling_levels",
-    "inventory_lifo_vs_fifo_valuation",
-    "sql_arrays_zip_semantics_battery",
-    "finance_wash_sale_detector",
-    # --- wave-213b (round 9, part 3), same-round verified ---
-    "dedup_cluster_survivor_accounting",
-    "net_cidr_supernet_aggregation",
-    "sql_agg_filter_clause_battery",
-    "text_vocab_coverage_oov",
-    "search_err_cascade_metric",
-    # --- then the never-driver-checked backlog, heaviest first (the
-    # r8 verdict's named list leads; ~35 fit in this round's window,
-    # the rest lead the next rotation) ---
-    # (the round-8 verdict's named list: max clique, min cut, AGM bound
-    # audit, WAND pruning economics, chain ladder, nulls-ordering battery,
-    # grid radius join, incremental view maintenance, Croston, BPE apply —
-    # then by sf0.1 BENCH_DETAIL cost desc.)
-    "graph_max_clique_enumeration",
-    "graph_mincut_subset_enumeration",
-    "optimizer_agm_bound_audit",
-    "search_wand_pruning_economics",
-    "actuarial_chain_ladder_projection",
-    "sql_nulls_ordering_battery",
-    "geo_grid_radius_join",
-    "view_incremental_join_maintenance",
-    "forecast_croston_intermittent",
-    "pipeline_bpe_tokenize_apply",
-    "timeseries_sad_matrix_profile",
-    "inventory_ss_policy_replay",
-    "inventory_wagner_whitin_lotsize",
-    "audit_event_hash_chain",
-    "opt_secretary_rule_replay",
-    "sql_qualify_window_filter",
-    "stat_ks_two_sample",
-    "approx_countmin_sketch_audit",
-    "dist_two_choice_load_audit",
-    "emb_mips_vs_cosine_divergence",
-    "text_mattr_lexical_diversity",
-    "ml_brier_murphy_decomposition",
-    "search_phrase_positions",
-    "net_longest_prefix_match",
-    "multimodal_audio_frame_energy",
-    "assortment_coverage_gaps",
-    "finance_npv_irr_rate_grid",
-    "supply_bullwhip_variance_ratio",
-    "finance_arc_price_elasticity",
-    "supplier_composite_scorecard",
+    # --- wave-214 queries (round 10) lead: same-round driver rows,
+    # the r8/r9 wave discipline (oracle + sf0.001/0.01 MATCH before
+    # registration). Slot count is kept small so the ~50-query window
+    # still retires a full tranche of the never-checked backlog. ---
+    # (prepended below as the wave lands)
+    # --- the never-driver-checked backlog (212 after round 9), by
+    # sf0.1 bench cost desc — the round-9 verdict's named tranche
+    # (haar wavelet, BH-FDR, approx-percentile guarantee, MDM
+    # survivorship, design-error comparison, ...) leads. Rounds 1-9
+    # verified 446 distinct queries green with zero unfixed failures;
+    # the 50 round-9 rows moved to the trailing registry-order tail
+    # via _ordered_names. ---
     "forecast_holt_linear_replay",
     "time_business_day_sla",
     "ml_naive_bayes_exact_argmax",
@@ -164,7 +112,6 @@ _VERIFICATION_PRIORITY = [
     "experiment_cuped_variance_reduction",
     "graph_avg_neighbor_degree",
     "layout_learned_index_epsilon",
-    # --- remaining never-driver-checked (192), by cost desc ---
     "timeseries_haar_wavelet_energy",
     "stats_benjamini_hochberg_fdr",
     "agg_approx_percentile_rank_guarantee",
