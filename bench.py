@@ -544,60 +544,62 @@ HEADLINE = [
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
-# (round 8 close, sf0.1) — all guaranteed a warm steady-state
-# measurement every round. Regenerate when the heavy tail shifts:
-# sorted(BENCH_DETAIL["queries"], key=-time)[:50].
+# (round 9 close, sf0.1) — all guaranteed a warm steady-state
+# measurement every round. Cold-tier timings are deflated x0.5 before
+# ranking (single cold runs measure ~2-3x their steady state — the
+# r9 verdict's approx_hdr 7.4 in-suite vs 2.0-2.5 isolated). Regen:
+# sorted(queries, key=-time*(0.5 if tier in cold else 1))[:50].
 _HOT_GUARANTEED = [
     "graph_sssp_khop_cheapest",
-    "timeseries_dtw_monthly",
-    "dedup_method_agreement",
     "sim_pq_adc_topk",
+    "dedup_method_agreement",
+    "graph_dag_critical_path",
+    "ml_model_scorecard",
+    "graph_functional_cycle_structure",
+    "graph_clustering_coefficient",
+    "timeseries_dtw_monthly",
     "pipeline_refinery_capstone_v2",
     "graph_mst_boruvka",
-    "graph_clustering_coefficient",
-    "approx_count_sketch_signed",
-    "graph_dag_critical_path",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "emb_knn_distance_outliers",
-    "dedup_containment_asymmetric",
-    "emb_jl_projection_distortion",
-    "scheduling_knapsack_exact",
-    "graph_functional_cycle_structure",
-    "dedup_shingle_size_sensitivity",
-    "basket_apriori_triples",
-    "dq_foreign_key_inference",
-    "events_heavy_hitters_mg_replay",
-    "graph_triangle_count",
-    "graph_personalized_pagerank",
-    "revenue_recognition_schedule",
-    "layout_sort_order_rle_bakeoff",
-    "graph_hits_bipartite_counts",
-    "fuzzy_name_matches",
-    "encoding_huffman_5symbol_exact",
-    "stat_spearman_rank_correlation",
-    "join_bucketed_colocated",
-    "rank_elo_lut_replay",
-    "cache_lru_hit_rate",
     "search_prf_query_expansion",
-    "graph_kcore_rounds",
-    "ml_capstone_nb_threshold_fairness",
-    "seq_lcs_monthly_baskets",
-    "cf_item_item_topk",
-    "emb_knn_label_accuracy",
-    "seq_lis_per_customer",
-    "finance_order_total_reconciliation",
-    "multimodal_audio_pitch_autocorr",
-    "stats_histogram_selectivity_audit",
-    "dedup_threshold_yield_curve",
-    "emb_mmr_diversified_topk",
-    "streaming_scd2_upsert",
-    "graph_health_card",
+    "scheduling_knapsack_exact",
+    "sim_ivf_ann_topk",
+    "cache_lru_hit_rate",
     "dedup_cross_source_matrix",
+    "approx_hdr_histogram_quantile_audit",
+    "dq_foreign_key_inference",
+    "graph_kcore_rounds",
+    "geo_getis_ord_hotspots",
+    "dedup_containment_asymmetric",
+    "search_rrf_rank_fusion",
+    "graph_triangle_count",
+    "layout_sort_order_rle_bakeoff",
+    "dq_primary_key_violation_audit",
+    "emb_knn_distance_outliers",
+    "dedup_cluster_survivor_accounting",
+    "dedup_minhash_lsh_pairs",
+    "revenue_recognition_schedule",
+    "emb_knn_label_accuracy",
+    "basket_apriori_triples",
+    "finance_arc_price_elasticity",
+    "stat_mood_dispersion_test",
+    "stats_cusum_arl_calibration",
+    "join_bucketed_colocated",
+    "encoding_huffman_5symbol_exact",
     "stat_kruskal_wallis_ranksums",
-    "events_markov_stationary_power",
-    "ml_roc_threshold_sweep",
-    "finance_stepdown_allocation",
+    "emb_mmr_diversified_topk",
+    "events_heavy_hitters_mg_replay",
+    "fuzzy_name_matches",
+    "multimodal_audio_pitch_autocorr",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_threshold_yield_curve",
+    "graph_personalized_pagerank",
+    "ml_brier_murphy_decomposition",
+    "ml_capstone_nb_threshold_fairness",
+    "streaming_scd2_upsert",
+    "stats_histogram_selectivity_audit",
+    "sql_integer_division_semantics_battery",
+    "approx_count_sketch_signed",
+    "inventory_reorder_point_replay",
 ]
 
 
@@ -605,8 +607,8 @@ _HOT_GUARANTEED = [
 # HEADLINE, advanced by bumping _CORE_ROTATION each round, so every
 # headline query gets a warm min-of-2 measurement every ~5 rounds
 # without the full suite ever exceeding the wall budget.
-_CORE_SIZE = 75
-_CORE_ROTATION = 9  # bump per round
+_CORE_SIZE = 70
+_CORE_ROTATION = 10  # bump per round
 
 # Always-warm CANARY set (round 7): a FIXED, stratified 27-query panel
 # (equi/bucketed/interval/fuzzy joins, windows, exact+fuzzy dedup,
@@ -728,16 +730,19 @@ def main() -> None:
     # recorded per query in BENCH_DETAIL.json "tiers", never silent.
     # SPARK_GRAFT_BENCH_WARMUP=0 forces everything cold.
     #
-    # Wall-clock budget: default 900 s. Round 5 ran ~600 s under the
-    # harness without issue; the warm tier alone is ~550-700 s of
-    # executions, and the absolute guard below degrades ANY remaining
-    # query to cold once 80% of the budget is spent (counted as
-    # budget_forced in the summary), so the run always terminates
-    # inside the budget regardless of mis-estimation.
+    # Wall-clock budget: default 1200 s (raised from 900 at r10 —
+    # 658+ queries put the r9 warm tier at ~670 s of executions, so
+    # the 720 s guard line forced 10 warm-set queries cold and their
+    # single-run times polluted the headline; the r9 run's total wall
+    # was already ~1200 s and completed fine under the harness). The
+    # absolute guard below degrades ANY remaining warm query to cold
+    # once 80% of the budget is spent (counted as budget_forced in
+    # the summary), so the run always terminates inside the budget
+    # regardless of mis-estimation.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     budget = float(
-        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900")
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200")
     )
     n = len(HEADLINE)
     core_lo = (_CORE_ROTATION * _CORE_SIZE) % n
@@ -836,14 +841,34 @@ def main() -> None:
     # The driver tail-captures stdout; r2's full 60-query line was too
     # long to survive the window, so the machine-readable line must be
     # compact and final.
+    #
+    # r9 verdict #3: the headline top-10 is WARM-MEASURED ONLY
+    # (canary/warm tiers — steady-state, comparable round-over-round).
+    # Cold single runs measure ~2-3x steady state and masquerade as
+    # regressions if ranked alongside; they get their own annotated
+    # key so nothing is hidden, just never conflated.
+    warm_measured = {
+        k: v for k, v in timings.items() if tiers[k] in ("canary", "warm")
+    }
+    cold_measured = {
+        k: v for k, v in timings.items() if k not in warm_measured
+    }
     top10 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        sorted(warm_measured.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    cold_top5 = {
+        f"{k} [{tiers[k]}]": v
+        for k, v in sorted(
+            cold_measured.items(), key=lambda kv: kv[1], reverse=True
+        )[:5]
+    }
     summary = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": top10,
+        "queries_tier": "warm-measured only (canary+warm); cold singles below",
+        "cold_top5": cold_top5,
         "sf": sf_val,
         "n_queries": len(timings),
         "warm_tier": len(timings) - single_run_tail,
