@@ -84,7 +84,13 @@ _VERIFICATION_PRIORITY = [
     # the r8/r9 wave discipline (oracle + sf0.001/0.01 MATCH before
     # registration). Slot count is kept small so the ~50-query window
     # still retires a full tranche of the never-checked backlog. ---
-    # (prepended below as the wave lands)
+    "ref_partition_pruning_audit",
+    "stats_brown_forsythe_variance",
+    "forecast_holt_winters_additive",
+    "quality_drift_triangular_divergence",
+    "sched_interval_partitioning_depth",
+    "pipeline_span_corruption_accounting",
+    "sql_recursive_bom_cost_rollup",
     # --- the never-driver-checked backlog (212 after round 9), by
     # sf0.1 bench cost desc — the round-9 verdict's named tranche
     # (haar wavelet, BH-FDR, approx-percentile guarantee, MDM

@@ -541,6 +541,15 @@ HEADLINE = [
     "sql_agg_filter_clause_battery",
     "text_vocab_coverage_oov",
     "search_err_cascade_metric",
+    # wave-214 (round 10)
+    "ref_partition_pruning_audit",
+    "stats_brown_forsythe_variance",
+    "forecast_holt_winters_additive",
+    "quality_drift_triangular_divergence",
+    "sched_interval_partitioning_depth",
+    "pipeline_span_corruption_accounting",
+    "sql_recursive_bom_cost_rollup",
+
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
