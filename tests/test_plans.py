@@ -1010,3 +1010,69 @@ def test_oov_coverage_broadcasts_vocab(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_holt_winters_fold_no_windows(spark, sf_dir):
+    """The HW recursion is an array fold over the bounded (region x
+    month) panel — no Window operator at all, and the only nested-
+    loop joins are the 1-row max-month broadcast; dimension joins
+    are broadcast hash."""
+    plan = physical_plan(
+        REGISTRY["forecast_holt_winters_additive"].fn(spark, sf_dir)
+    )
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_brown_forsythe_broadcasts_medians(spark, sf_dir):
+    """The 5-row per-priority median panel joins back broadcast —
+    the fact table shuffles only for its two aggregations, never as
+    a join build side; no windows anywhere."""
+    plan = physical_plan(
+        REGISTRY["stats_brown_forsythe_variance"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangular_divergence_broadcasts_totals(spark, sf_dir):
+    """The per-segment totals panel (5 rows) broadcasts; the binned
+    cell relation never becomes a build side or cartesian."""
+    plan = physical_plan(
+        REGISTRY["quality_drift_triangular_divergence"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_depth_windows_partition_on_nation(spark, sf_dir):
+    """Both the sweep cumsum and the peak max carry the n_name
+    partition spec — an unpartitioned sweep would funnel the 2x-
+    orders event relation into one task at 100 TB."""
+    plan = physical_plan(
+        REGISTRY["sched_interval_partitioning_depth"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition(n_name" in plan, plan
+
+
+def test_span_corruption_windows_partition_on_doc(spark, sf_dir):
+    """Token indexing and span-coverage windows are doc-keyed
+    (bounded partitions); no unpartitioned window over the token
+    relation."""
+    plan = physical_plan(
+        REGISTRY["pipeline_span_corruption_accounting"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition(doc_id" in plan, plan
+
+
+def test_bom_recursion_is_equi_joined(spark, sf_dir):
+    """The recursive arm joins the frontier to part on the derived
+    child-div-2 equality key — hash-partitionable; never cartesian
+    or nested-loop over a growing frontier."""
+    plan = physical_plan(
+        REGISTRY["sql_recursive_bom_cost_rollup"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
