@@ -91,6 +91,9 @@ _VERIFICATION_PRIORITY = [
     "sched_interval_partitioning_depth",
     "pipeline_span_corruption_accounting",
     "sql_recursive_bom_cost_rollup",
+    "stats_energy_distance_exact",
+    "stat_mann_whitney_cliffs_delta",
+    "stats_friedman_blocked_ranks",
     # --- the never-driver-checked backlog (212 after round 9), by
     # sf0.1 bench cost desc — the round-9 verdict's named tranche
     # (haar wavelet, BH-FDR, approx-percentile guarantee, MDM

@@ -549,6 +549,9 @@ HEADLINE = [
     "sched_interval_partitioning_depth",
     "pipeline_span_corruption_accounting",
     "sql_recursive_bom_cost_rollup",
+    "stats_energy_distance_exact",
+    "stat_mann_whitney_cliffs_delta",
+    "stats_friedman_blocked_ranks",
 
 ]
 

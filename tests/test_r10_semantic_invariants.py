@@ -205,3 +205,49 @@ def test_bom_rollup_python_replay(spark, sf_dir):
         assert r.n_nodes == n_nodes
         assert r.max_depth == max_depth
         assert r.total_cost_cents == total
+
+
+def test_energy_distance_numpy_replay(spark, sf_dir):
+    """Exact replay: at sf0.001 the two samples are small enough to
+    enumerate all pairs in numpy — the spine prefix-sum identity must
+    reproduce the brute-force V-statistic exactly (same floor)."""
+    import numpy as np
+
+    (r,) = _rows(spark, sf_dir, "stats_energy_distance_exact")
+    con = _duck(sf_dir)
+    x = np.array(con.execute(
+        "SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2))*100 AS BIGINT)"
+        " FROM orders WHERE o_orderstatus='F'").fetchall()).ravel()
+    y = np.array(con.execute(
+        "SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2))*100 AS BIGINT)"
+        " FROM orders WHERE o_orderstatus='O'").fetchall()).ravel()
+    assert r.nx == len(x) and r.ny == len(y)
+    sxy = int(np.abs(x[:, None] - y[None, :]).sum())
+    sxx = int(np.abs(x[:, None] - x[None, :]).sum())
+    syy = int(np.abs(y[:, None] - y[None, :]).sum())
+    e = (2.0 * float(sxy) / (float(len(x)) * float(len(y)))
+         - float(sxx) / (float(len(x)) * float(len(x)))
+         - float(syy) / (float(len(y)) * float(len(y))))
+    assert e >= 0  # energy distance is a metric
+    assert abs(r.energy_micro_cents - math.floor(1e6 * e)) <= 1
+
+
+def test_mann_whitney_counts_partition_pairs(spark, sf_dir):
+    """gt + lt + ties must partition ALL nx*ny pairs exactly; 2U in
+    doubled units equals 2*gt + ties; Cliff's delta in [-1, 1]."""
+    (r,) = _rows(spark, sf_dir, "stat_mann_whitney_cliffs_delta")
+    assert r.gt + r.lt + r.ties == r.nx * r.ny
+    assert r.u2_x == 2 * r.gt + r.ties
+    assert -(10**6) <= r.cliffs_delta_micro <= 10**6
+
+
+def test_friedman_midrank_conservation(spark, sf_dir):
+    """Midranks within a complete block of k=5 sum to k(k+1)/2 = 15
+    (30 in doubled units), so the rank-sum column must total exactly
+    30 * n_blocks; Q >= 0 up to the floor boundary."""
+    rows = _rows(spark, sf_dir, "stats_friedman_blocked_ranks")
+    assert len(rows) == 5
+    n_blocks = rows[0].n_blocks
+    assert sum(r.r2_sum for r in rows) == 30 * n_blocks
+    assert all(r.q_micro == rows[0].q_micro for r in rows)
+    assert rows[0].q_micro >= -1
