@@ -1076,3 +1076,34 @@ def test_bom_recursion_is_equi_joined(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_energy_distance_spine_windows_only(spark, sf_dir):
+    """Both spine cumsums ride ONE window over the domain-bounded
+    distinct-cents relation; the totals panel is a 1-row broadcast
+    (nested loop allowed only for it); no pair enumeration."""
+    plan = physical_plan(
+        REGISTRY["stats_energy_distance_exact"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_mann_whitney_no_pair_join(spark, sf_dir):
+    """Dominance counts come from the spine cumulative — the plan
+    must contain no join of the two samples against each other
+    (only the 1-row totals broadcast)."""
+    plan = physical_plan(
+        REGISTRY["stat_mann_whitney_cliffs_delta"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_friedman_rank_windows_partition_on_month(spark, sf_dir):
+    """Rank and tie-count windows are month-keyed (5-row
+    partitions); no unpartitioned window in the plan."""
+    plan = physical_plan(
+        REGISTRY["stats_friedman_blocked_ranks"].fn(spark, sf_dir)
+    )
+    assert "windowspecdefinition(m" in plan, plan
