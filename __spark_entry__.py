@@ -71,248 +71,193 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-window ordering. The driver checks the FIRST ~50 entries
-# of queries() each round; rounds 1-8 verified 396 distinct queries green
-# (CORRECTNESS_r01-r08, zero unfixed failures). Round 9 front-loads 50 of
-# the 242 never-driver-checked queries, heaviest (measured sf0.1 bench
-# cost) first — the round-8 verdict's named rotation list. Past slot 50:
-# every OTHER never-checked query by cost desc (so any wider window still
-# hits fresh rows first); previously-green entries trail via
-# _ordered_names (still covered by the sf0.001 pytest parity gate and the
-# full sf0.01 driver_sim certification each round).
+# of queries() each round. Rounds 1-10 verified 496 distinct queries
+# green (CORRECTNESS_r01-r10; zero failures ever left unfixed), leaving
+# a 172-query never-driver-checked backlog at round-11 open. Round 11
+# front-loads that backlog by measured sf0.1 bench cost desc (the
+# round-10 verdict's rotation directive); any new wave-215 queries are
+# inserted in <=10 leading slots so a full tranche of old backlog still
+# retires. Past slot ~50: the REST of the never-checked backlog, cost
+# desc (so any wider window still hits fresh rows first); previously-
+# green entries trail via _ordered_names (still covered by the sf0.001
+# pytest parity gate and the full sf0.01 driver_sim certification each
+# round).
 _VERIFICATION_PRIORITY = [
-    # --- wave-214 queries (round 10) lead: same-round driver rows,
-    # the r8/r9 wave discipline (oracle + sf0.001/0.01 MATCH before
-    # registration). Slot count is kept small so the ~50-query window
-    # still retires a full tranche of the never-checked backlog. ---
-    "ref_partition_pruning_audit",
-    "stats_brown_forsythe_variance",
-    "forecast_holt_winters_additive",
-    "quality_drift_triangular_divergence",
-    "sched_interval_partitioning_depth",
-    "pipeline_span_corruption_accounting",
-    "sql_recursive_bom_cost_rollup",
-    "stats_energy_distance_exact",
-    "stat_mann_whitney_cliffs_delta",
-    "stats_friedman_blocked_ranks",
-    # --- the never-driver-checked backlog (212 after round 9), by
-    # sf0.1 bench cost desc — the round-9 verdict's named tranche
-    # (haar wavelet, BH-FDR, approx-percentile guarantee, MDM
-    # survivorship, design-error comparison, ...) leads. Rounds 1-9
-    # verified 446 distinct queries green with zero unfixed failures;
-    # the 50 round-9 rows moved to the trailing registry-order tail
-    # via _ordered_names. ---
-    "forecast_holt_linear_replay",
-    "time_business_day_sla",
-    "ml_naive_bayes_exact_argmax",
-    "lakehouse_time_travel_merge",
-    "join_salted_skew_equivalence",
-    "graph_katz_centrality_integer",
-    "finance_net_dollar_retention",
-    "inequality_hoover_index",
-    "scd2_point_in_time_join",
-    "experiment_ipw_confounder_correction",
-    "events_dau_mau_stickiness",
-    "orders_backlog_daily",
-    "emb_fisher_separation_ratio",
-    "audit_duplicate_invoice_candidates",
-    "text_integer_surprisal_scores",
-    "graph_degree_assortativity",
-    "lakehouse_cdc_changefeed",
-    "experiment_cuped_variance_reduction",
-    "graph_avg_neighbor_degree",
-    "layout_learned_index_epsilon",
-    "timeseries_haar_wavelet_energy",
-    "stats_benjamini_hochberg_fdr",
-    "agg_approx_percentile_rank_guarantee",
-    "mdm_survivorship_policy_battery",
-    "sampling_design_error_comparison",
-    "dq_constraint_mining_audit",
-    "market_concentration_cr4",
-    "finance_price_index_lpf",
-    "events_circular_hour_stats",
-    "stats_exact_raw_moments",
-    "election_voting_rules_compared",
-    "window_ignore_nulls_battery",
-    "events_markov_homogeneity",
-    "privacy_erasure_blast_radius",
-    "privacy_unicity_two_points",
-    "linkage_phonetic_blocking",
-    "audit_duplicate_payment_detector",
-    "finance_max_drawdown_underwater",
-    "experiment_mde_power_analysis",
-    "layout_codec_chooser",
-    "causal_diff_in_differences",
-    "stats_grain_fallacy_audit",
-    "dq_missingness_pattern_mining",
-    "sec_impossible_travel_audit",
-    "alloc_airport_game_shapley",
-    "causal_rdd_quantity_cutoff",
-    "sched_wfq_virtual_finish",
-    "sales_quarter_hockey_stick",
-    "finance_price_volume_bridge",
-    "events_watermark_lateness_profile",
-    "hash_truncation_collision_audit",
-    "sql_full_outer_rewrite_equivalence",
-    "finance_vwap_divergence",
-    "supply_bullwhip_ratio",
-    "text_zipf_bigram_buckets",
-    "stat_runs_test_daily",
-    "anomaly_hbos_bincount_topk",
-    "ops_incident_mttr_stats",
-    "queueing_littles_law_audit",
-    "layout_delta_varint_economics",
-    "audit_merkle_month_digests",
-    "opt_knapsack_density_gap",
-    "ml_leakage_detector_audit",
-    "alloc_apportionment_methods",
-    "emb_int8_quantization_error",
-    "election_banzhaf_power_index",
-    "sql_relational_division",
-    "pipeline_dataset_shard_manifest",
-    "join_hot_cold_split_equivalence",
-    "timeseries_kadane_extremes",
-    "ml_gini_stump_induction",
-    "layout_dictionary_encoding_economics",
-    "forecast_pinball_loss_eval",
-    "finance_rounding_mode_battery",
-    "multimodal_video_scene_cuts",
-    "sql_integer_division_semantics_battery",
-    "routing_tsp_nn_2opt",
-    "approx_cms_count_estimates",
-    "ml_evalset_sizing_curve",
+    # --- the never-driver-checked backlog (172 after round 10), by
+    # sf0.1 bench cost desc. Wave-215 entries (round 11) are inserted
+    # above this marker as they land, <=10 total. ---
     "events_repeat_rate_7d",
-    "privacy_t_closeness_emd",
-    "changepoint_two_segment_sse",
-    "orders_cum_distinct_customers",
-    "text_hashing_trick_collisions",
-    "election_kemeny_rank_4",
-    "stat_wilcoxon_signed_rank",
-    "trend_mann_kendall_monthly",
-    "rank_wilson_lower_bound",
-    "join_bloom_prefilter_equivalence",
-    "multimodal_frame_dedup",
-    "stat_exact_permutation_pvalue",
-    "audit_tv_distance_drift",
-    "text_boilerplate_line_removal",
-    "events_cusum_changepoint",
-    "ml_permutation_feature_importance",
-    "layout_compaction_coalesce_plan",
-    "approx_hll_register_audit",
-    "time_fiscal_445_calendar",
-    "inventory_dead_stock_audit",
-    "sched_edf_feasibility_audit",
-    "privacy_dp_geometric_counts",
-    "ops_sla_credit_calculation",
-    "linkage_fellegi_sunter_scores",
-    "privacy_k_anonymity_audit",
-    "causal_coarsened_exact_matching",
-    "dq_freshness_staleness_audit",
-    "stats_median_of_means",
-    "optimizer_independence_qerror",
-    "sql_decorrelation_equivalence",
-    "stats_simpsons_paradox_scan",
-    "format_csv_malformed_modes",
-    "regression_ransac_deterministic",
-    "sketch_bloom_fpr_audit",
-    "lakehouse_snapshot_diff_audit",
+    "compression_rle_economics",
+    "audit_merkle_month_digests",
     "ml_target_encoding_loo",
-    "ops_incident_cooccurrence_lift",
-    "ops_backoff_conformance_audit",
-    "format_csv_dialect_battery",
-    "attribution_position_based",
-    "sql_grouping_id_rollup_decode",
-    "timeseries_best_split_changepoint",
-    "sql_pivot_quarterly_revenue",
-    "events_sliding_window_rate_limit",
-    "sim_ndcg_retrieval_eval",
+    "opt_knapsack_density_gap",
     "quality_expectation_suite",
+    "finance_vwap_divergence",
+    "sec_impossible_travel_audit",
+    "text_zipf_bigram_buckets",
+    "finance_price_volume_mix",
+    "stat_quantile_mapping_transfer",
+    "attribution_position_based",
+    "stats_simpsons_paradox_scan",
+    "events_watermark_lateness_profile",
+    "anomaly_hampel_filter_daily",
+    "stats_grain_fallacy_audit",
+    "orders_priority_mix_shift",
+    "dq_missingness_pattern_mining",
+    "stats_median_of_means",
+    "causal_diff_in_differences",
+    "finance_price_volume_bridge",
+    "layout_dictionary_encoding_economics",
+    "isotonic_regression_exact",
+    "sql_relational_division",
+    "causal_rdd_quantity_cutoff",
+    "emb_int8_quantization_error",
+    "alloc_airport_game_shapley",
+    "causal_coarsened_exact_matching",
+    "text_hashing_trick_collisions",
+    "multimodal_video_scene_cuts",
+    "routing_tsp_nn_2opt",
+    "corpus_drift_idf_shift",
+    "sales_quarter_hockey_stick",
+    "layout_compaction_coalesce_plan",
+    "supply_bullwhip_ratio",
+    "cdc_log_compaction",
+    "regression_ransac_deterministic",
+    "alloc_apportionment_methods",
+    "sim_ndcg_retrieval_eval",
+    "anomaly_hbos_bincount_topk",
+    "layout_zonemap_skipping_audit",
+    "join_hot_cold_split_equivalence",
+    "multimodal_frame_dedup",
+    "audit_tv_distance_drift",
+    "lakehouse_snapshot_diff_audit",
+    "ops_incident_cooccurrence_lift",
+    "optimizer_independence_qerror",
+    "election_kemeny_rank_4",
+    "sched_wfq_virtual_finish",
+    "changepoint_two_segment_sse",
+    "hash_truncation_collision_audit",
+    "ops_incident_mttr_stats",
+    "ops_backoff_conformance_audit",
+    "trend_theil_sen_slope",
+    "alert_hysteresis_daily",
+    "finance_rounding_mode_battery",
+    "sql_integer_division_semantics_battery",
+    "forecast_conformal_interval_audit",
+    "events_cusum_changepoint",
+    "rank_wilson_lower_bound",
+    "privacy_dp_geometric_counts",
+    "sched_edf_feasibility_audit",
+    "election_banzhaf_power_index",
+    "pipeline_dataset_shard_manifest",
+    "experiment_sprt_daily_replay",
+    "dist_rendezvous_hash_rebalance",
+    "inventory_dead_stock_audit",
+    "sketch_bloom_fpr_audit",
+    "ml_evalset_sizing_curve",
+    "privacy_k_anonymity_audit",
+    "approx_hll_register_audit",
+    "privacy_t_closeness_emd",
+    "privacy_l_diversity_audit",
+    "scd_aswas_vs_asis_revenue",
+    "sql_full_outer_rewrite_equivalence",
+    "join_bloom_prefilter_equivalence",
+    "orders_cum_distinct_customers",
+    "stat_wilcoxon_signed_rank",
+    "survival_logrank_test",
+    "trend_mann_kendall_monthly",
+    "ml_negative_sampling_audit",
+    "time_fiscal_445_calendar",
+    "sql_grouping_id_rollup_decode",
+    "timeseries_kadane_extremes",
+    "format_csv_malformed_modes",
+    "linkage_fellegi_sunter_scores",
+    "finance_fx_triangulation_audit",
+    "ml_leakage_detector_audit",
+    "sql_not_in_null_trap_battery",
+    "ml_auc_feature_screen",
+    "layout_prefix_compression_audit",
+    "auction_uniform_price_clearing",
+    "queueing_littles_law_audit",
+    "text_boilerplate_line_removal",
+    "storage_delta_of_delta_gorilla",
+    "format_csv_dialect_battery",
+    "ops_sla_credit_calculation",
+    "text_good_turing_mass",
+    "ml_gain_chart_deciles",
+    "search_phrase_positional_index",
     "risk_block_maxima_return_level",
     "privacy_generalization_ladder",
-    "finance_price_volume_mix",
-    "finance_day_count_conventions",
-    "inventory_eoq_batch_sizing",
-    "scd_aswas_vs_asis_revenue",
-    "sql_not_in_null_trap_battery",
-    "layout_zonemap_skipping_audit",
-    "audience_overlap_matrix",
-    "stat_quantile_mapping_transfer",
-    "events_autocorrelation_daily",
     "stats_effective_sample_size",
-    "layout_lsm_writeamp_economics",
-    "auction_uniform_price_clearing",
-    "finance_progressive_tax_brackets",
-    "stats_jackknife_ratio_variance",
-    "orders_priority_mix_shift",
-    "isotonic_regression_exact",
-    "ops_erlang_b_blocking",
-    "time_fiscal_calendar_rollup",
-    "web_url_canonical_dedup",
-    "search_phrase_positional_index",
-    "ml_kfold_cv_accuracy",
-    "compression_rle_economics",
-    "agg_mode_deterministic",
-    "ops_cron_schedule_expansion",
-    "optimizer_predicate_order_cost",
-    "finance_fx_triangulation_audit",
-    "survival_logrank_test",
-    "quality_shewhart_control_chart",
-    "corpus_drift_idf_shift",
-    "cdc_log_compaction",
-    "dist_rendezvous_hash_rebalance",
-    "trend_theil_sen_slope",
-    "regression_ols_exact",
-    "sql_range_vs_rows_frames",
-    "privacy_fpe_mask_audit",
-    "storage_delta_of_delta_gorilla",
-    "text_good_turing_mass",
-    "window_ntile_remainder_semantics",
-    "anomaly_hampel_filter_daily",
-    "fairness_selection_rate_audit",
-    "forecast_conformal_interval_audit",
-    "finance_amortization_schedule",
-    "geo_point_in_polygon_winding",
-    "pipeline_curriculum_stage_budgets",
-    "slo_multiwindow_burn_alerts",
-    "emb_triangle_inequality_audit",
-    "text_stopword_discovery",
-    "fairness_equalized_odds_audit",
-    "sql_window_frame_default_trap",
-    "layout_prefix_compression_audit",
-    "privacy_randomized_response_estimate",
-    "privacy_l_diversity_audit",
-    "pipeline_temperature_sampling_weights",
-    "experiment_sprt_daily_replay",
-    "ml_auc_feature_screen",
-    "dq_luhn_check_digit_audit",
-    "dq_ingestion_gap_detector",
-    "sql_null_ordering_battery",
-    "time_add_months_eom_battery",
-    "events_poisson_dispersion_test",
-    "experiment_srm_guardrail",
-    "ml_negative_sampling_audit",
-    "dedup_shard_strategy_audit",
-    "serving_decayed_leaderboard",
     "timeseries_sax_motifs",
-    "timeseries_rolling_correlation",
-    "sql_explode_outer_battery",
-    "ml_gain_chart_deciles",
-    "search_autocomplete_prefix_topk",
-    "ml_mcnemar_paired_classifiers",
-    "time_t2_settlement_battery",
-    "pipeline_filter_attrition_funnel",
-    "alert_hysteresis_daily",
-    "sql_null_semantics_battery",
-    "ml_annotator_agreement_kappa",
-    "time_iso_week_battery",
+    "time_fiscal_calendar_rollup",
+    "optimizer_predicate_order_cost",
+    "stat_exact_permutation_pvalue",
+    "privacy_fpe_mask_audit",
+    "layout_delta_varint_economics",
+    "ml_gini_stump_induction",
+    "sql_decorrelation_equivalence",
+    "events_sliding_window_rate_limit",
     "forecast_backtest_naive_vs_seasonal",
-    "text_hapax_ratio_by_lang",
-    "ml_calibration_reliability_bins",
-    "sampling_neyman_allocation",
-    "survival_km_hazard_table",
-    "events_weekday_hour_heatmap",
+    "regression_ols_exact",
+    "sql_pivot_quarterly_revenue",
+    "search_autocomplete_prefix_topk",
+    "forecast_pinball_loss_eval",
+    "sql_null_ordering_battery",
+    "sql_range_vs_rows_frames",
+    "dq_luhn_check_digit_audit",
+    "ops_erlang_b_blocking",
+    "finance_day_count_conventions",
+    "finance_progressive_tax_brackets",
+    "events_autocorrelation_daily",
+    "ml_permutation_feature_importance",
+    "fairness_equalized_odds_audit",
+    "pipeline_filter_attrition_funnel",
+    "timeseries_rolling_correlation",
     "audit_price_round_number_bias",
-    "text_encoding_byte_audit",
+    "sampling_neyman_allocation",
+    "agg_mode_deterministic",
+    "emb_triangle_inequality_audit",
+    "layout_lsm_writeamp_economics",
+    "approx_cms_count_estimates",
+    "text_hapax_ratio_by_lang",
+    "window_ntile_remainder_semantics",
+    "inventory_eoq_batch_sizing",
+    "survival_km_hazard_table",
+    "dedup_shard_strategy_audit",
+    "slo_multiwindow_burn_alerts",
+    "finance_amortization_schedule",
+    "time_add_months_eom_battery",
+    "web_url_canonical_dedup",
+    "stats_jackknife_ratio_variance",
+    "ml_kfold_cv_accuracy",
+    "events_weekday_hour_heatmap",
+    "pipeline_curriculum_stage_budgets",
+    "sql_null_semantics_battery",
+    "ops_cron_schedule_expansion",
+    "fairness_selection_rate_audit",
+    "quality_shewhart_control_chart",
+    "sql_window_frame_default_trap",
+    "time_iso_week_battery",
+    "ml_calibration_reliability_bins",
+    "geo_point_in_polygon_winding",
     "slo_error_budget_burn",
+    "audience_overlap_matrix",
+    "dq_ingestion_gap_detector",
+    "ml_annotator_agreement_kappa",
+    "timeseries_best_split_changepoint",
+    "pipeline_temperature_sampling_weights",
+    "experiment_srm_guardrail",
+    "text_stopword_discovery",
+    "dq_freshness_staleness_audit",
+    "time_t2_settlement_battery",
+    "sql_explode_outer_battery",
+    "ml_mcnemar_paired_classifiers",
+    "text_encoding_byte_audit",
+    "stat_runs_test_daily",
+    "serving_decayed_leaderboard",
+    "privacy_randomized_response_estimate",
+    "events_poisson_dispersion_test",
 ]
 
 

@@ -312,12 +312,20 @@ def forecast_holt_winters_additive(
             F.slice("ys", 1, 12), lambda v: v - F.col("lvl0")
         ).alias("s"),
     )
+    # Guard the fold: F.sequence(13, size) defaults to step -1 when
+    # size < 13 (a DESCENDING sequence), which would iterate the fold
+    # backwards/out-of-range instead of skipping it. On a <13-month
+    # series the oracle's recursive CTE never recurses past the init
+    # row, so the Spark side must return state0 unchanged too.
     final = init.select(
         "r_name",
         F.size("ys").cast("long").alias("months"),
-        F.aggregate(
-            F.sequence(F.lit(13), F.size("ys")), state0, step
-        ).alias("st"),
+        F.when(
+            F.size("ys") >= 13,
+            F.aggregate(F.sequence(F.lit(13), F.size("ys")), state0, step),
+        )
+        .otherwise(state0)
+        .alias("st"),
     )
     return final.select(
         "r_name",
@@ -370,6 +378,7 @@ def forecast_holt_winters_additive(
                          + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))))
                AS BIGINT)) AS BIGINT) AS tri_pico
         FROM cell JOIN seg USING (segment)
+        WHERE ta > 0 AND tb > 0
         GROUP BY segment, ta, tb
         ORDER BY segment
     """,
@@ -412,10 +421,14 @@ def quality_drift_triangular_divergence(
         .cast("long")
         .alias("b"),
     )
+    # ta/tb = 0 (a segment with no orders in one of the two years) would
+    # make every bin term x/0.0 -> Inf/NaN, where FLOOR/cast-to-long can
+    # diverge between engines; drop such segments (mirrored in the
+    # oracle's WHERE ta > 0 AND tb > 0). Unreachable on TPC-H data.
     seg = cell.groupBy("segment").agg(
         F.sum("a").cast("long").alias("ta"),
         F.sum("b").cast("long").alias("tb"),
-    )
+    ).where((F.col("ta") > 0) & (F.col("tb") > 0))
     a_d, b_d = F.col("a").cast("double"), F.col("b").cast("double")
     ta_d, tb_d = F.col("ta").cast("double"), F.col("tb").cast("double")
     diff = a_d * tb_d - b_d * ta_d
@@ -690,7 +703,7 @@ def sql_recursive_bom_cost_rollup(
     part = load_table(spark, sf_dir, "part")
     view = f"part_bom_{uuid.uuid4().hex[:8]}"
     part.select("p_partkey", "p_retailprice").createOrReplaceTempView(view)
-    return spark.sql(
+    df = spark.sql(
         f"""
         WITH RECURSIVE bom(root, node, depth, path_qty) AS (
             SELECT p_partkey, p_partkey, 0, CAST(1 AS BIGINT)
@@ -712,3 +725,8 @@ def sql_recursive_bom_cost_rollup(
         GROUP BY root ORDER BY root
         """
     )
+    # The returned plan is already resolved; drop the uniquely-named
+    # temp view so repeated bench/driver-sim invocations don't
+    # accumulate catalog entries in the long-lived shared session.
+    spark.catalog.dropTempView(view)
+    return df

@@ -74,6 +74,7 @@ from .registry import dec, query
                )) AS BIGINT) AS energy_micro_cents
         FROM (SELECT SUM(txy) AS sxy, SUM(txx) AS sxx, SUM(tyy) AS syy
               FROM terms) CROSS JOIN tot
+        WHERE nx > 0 AND ny > 0
     """,
     description="Exact two-sample energy distance between the order-"
     "total distributions of F- vs O-status orders: E = 2*E|X-Y| - "
@@ -157,7 +158,11 @@ def stats_energy_distance_exact(
         - F.col("sxx").cast("double") / (nx_d * nx_d)
         - F.col("syy").cast("double") / (ny_d * ny_d)
     )
-    return agg.select(
+    # nx/ny = 0 (an empty orderstatus class) would put Inf/NaN into the
+    # final expression, where FLOOR/cast-to-long can diverge between
+    # engines; drop that degenerate row (mirrored in the oracle's
+    # WHERE nx > 0 AND ny > 0). Unreachable on TPC-H data.
+    return agg.where((F.col("nx") > 0) & (F.col("ny") > 0)).select(
         "nx",
         "ny",
         F.floor(F.lit(1e6) * energy).cast("long").alias(
