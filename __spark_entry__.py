@@ -83,6 +83,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest parity gate and the full sf0.01 driver_sim certification each
 # round).
 _VERIFICATION_PRIORITY = [
+    # --- wave-215 (round 11) entries, driver-checked in-round per the
+    # r10 verdict's <=10-leading-slots rule ---
+    "sched_lpt_makespan_bound",
+    "stat_page_trend_test",
+    "stat_cochran_q_test",
+    "alloc_talmud_bankruptcy",
+    "graph_harmonic_centrality",
     # --- the never-driver-checked backlog (172 after round 10), by
     # sf0.1 bench cost desc. Wave-215 entries (round 11) are inserted
     # above this marker as they land, <=10 total. ---
