@@ -90,6 +90,11 @@ _VERIFICATION_PRIORITY = [
     "stat_cochran_q_test",
     "alloc_talmud_bankruptcy",
     "graph_harmonic_centrality",
+    "stat_jonckheere_terpstra",
+    "graph_bridge_edges",
+    "time_easter_computus",
+    "events_allan_variance",
+    "dq_hamming74_ecc_audit",
     # --- the never-driver-checked backlog (172 after round 10), by
     # sf0.1 bench cost desc. Wave-215 entries (round 11) are inserted
     # above this marker as they land, <=10 total. ---

@@ -281,7 +281,7 @@ def stat_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ Cochran's Q test
 
-_CQ_YEARS = (1993, 1994, 1995)
+_CQ_YEARS = (1995, 1996, 1997)
 
 
 @query(
@@ -289,35 +289,35 @@ _CQ_YEARS = (1993, 1994, 1995)
     oracle=f"""
         WITH act AS (
             SELECT o_custkey,
-                   MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1993
-                            THEN 1 ELSE 0 END) AS x93,
-                   MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1994
-                            THEN 1 ELSE 0 END) AS x94,
                    MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
-                            THEN 1 ELSE 0 END) AS x95
+                            THEN 1 ELSE 0 END) AS x95,
+                   MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                            THEN 1 ELSE 0 END) AS x96,
+                   MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                            THEN 1 ELSE 0 END) AS x97
             FROM orders
-            WHERE EXTRACT(year FROM o_orderdate) IN (1993, 1994, 1995)
+            WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996, 1997)
             GROUP BY o_custkey
         ), agg AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
-                   CAST(SUM(x93) AS BIGINT) AS c93,
-                   CAST(SUM(x94) AS BIGINT) AS c94,
                    CAST(SUM(x95) AS BIGINT) AS c95,
-                   CAST(SUM(x93 + x94 + x95) AS BIGINT) AS big_n,
-                   CAST(SUM((x93 + x94 + x95) * (x93 + x94 + x95))
+                   CAST(SUM(x96) AS BIGINT) AS c96,
+                   CAST(SUM(x97) AS BIGINT) AS c97,
+                   CAST(SUM(x95 + x96 + x97) AS BIGINT) AS big_n,
+                   CAST(SUM((x95 + x96 + x97) * (x95 + x96 + x97))
                         AS BIGINT) AS sum_ri_sq
             FROM act
         )
-        SELECT n_blocks, c93, c94, c95, big_n,
+        SELECT n_blocks, c95, c96, c97, big_n,
                CAST((1000000 * 2
-                     * (3 * (c93*c93 + c94*c94 + c95*c95) - big_n * big_n))
+                     * (3 * (c95*c95 + c96*c96 + c97*c97) - big_n * big_n))
                     // (3 * big_n - sum_ri_sq) AS BIGINT) AS q_micro
         FROM agg
         WHERE 3 * big_n - sum_ri_sq > 0
     """,
     description="Cochran's Q test — the k-sample McNemar — on the "
     "binary customer-activity matrix: blocks = customers with >= 1 "
-    "order in 1993-1995, treatments = the three years, x = ordered-"
+    "order in 1995-1997, treatments = the three years, x = ordered-"
     "that-year. Q = (k-1)(k*sum Cj^2 - N^2)/(k*N - sum Ri^2) stays "
     "integer end-to-end (k=3), one micro-scaled integer division; "
     "the all-identical-rows degenerate denominator (every customer "
@@ -339,23 +339,23 @@ def stat_cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    ri = F.col("x93") + F.col("x94") + F.col("x95")
+    ri = F.col("x95") + F.col("x96") + F.col("x97")
     agg = act.agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks"),
-        F.sum("x93").cast("long").alias("c93"),
-        F.sum("x94").cast("long").alias("c94"),
         F.sum("x95").cast("long").alias("c95"),
+        F.sum("x96").cast("long").alias("c96"),
+        F.sum("x97").cast("long").alias("c97"),
         F.sum(ri).cast("long").alias("big_n"),
         F.sum(ri * ri).cast("long").alias("sum_ri_sq"),
     )
     return agg.where(3 * F.col("big_n") - F.col("sum_ri_sq") > 0).select(
         "n_blocks",
-        "c93",
-        "c94",
         "c95",
+        "c96",
+        "c97",
         "big_n",
         F.expr(
-            "(1000000 * 2 * (3 * (c93*c93 + c94*c94 + c95*c95)"
+            "(1000000 * 2 * (3 * (c95*c95 + c96*c96 + c97*c97)"
             " - big_n * big_n)) DIV (3 * big_n - sum_ri_sq)"
         ).alias("q_micro"),
     )
