@@ -324,7 +324,7 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         heavy.join(
-            hit,
+            F.broadcast(hit),
             (heavy.eid == hit.r_eid) & (heavy.v == hit.r_node),
             "left",
         )

@@ -1107,3 +1107,107 @@ def test_friedman_rank_windows_partition_on_month(spark, sf_dir):
         REGISTRY["stats_friedman_blocked_ranks"].fn(spark, sf_dir)
     )
     assert "windowspecdefinition(m" in plan, plan
+
+
+# ---------------------- wave-215 (round 11) plan pins ----------------------
+
+
+def test_lpt_fold_no_windows_broadcast_dim(spark, sf_dir):
+    """The LPT replay is a grouped fold: no window operator anywhere,
+    nation broadcast, no cartesian product."""
+    plan = physical_plan(REGISTRY["sched_lpt_makespan_bound"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_page_trend_rank_windows_partition_on_nation(spark, sf_dir):
+    """Within-block ranks partition on n_name (6-row partitions);
+    the month spine attaches via broadcast."""
+    plan = physical_plan(REGISTRY["stat_page_trend_test"].fn(spark, sf_dir))
+    assert "windowspecdefinition(n_name" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cochran_q_single_pass_no_joins(spark, sf_dir):
+    """Cochran's Q is one fact group-by + one global aggregate: no
+    join operator of any kind, partial aggregation present."""
+    plan = physical_plan(REGISTRY["stat_cochran_q_test"].fn(spark, sf_dir))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+        assert op not in plan, (op, plan)
+    assert "HashAggregate" in plan, plan
+
+
+def test_talmud_windows_partition_on_region(spark, sf_dir):
+    """Every waterfall window partitions on r_name; dims broadcast;
+    no unpartitioned window."""
+    plan = physical_plan(REGISTRY["alloc_talmud_bankruptcy"].fn(spark, sf_dir))
+    assert "windowspecdefinition(r_name" in plan, plan
+    assert plan.count("windowspecdefinition(") == plan.count(
+        "windowspecdefinition(r_name"
+    ), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_harmonic_centrality_broadcast_bounded(spark, sf_dir):
+    """The only nested-loop join is the 1-row stats broadcast; the
+    fact-side trade aggregation keeps customer/supplier broadcast."""
+    plan = physical_plan(
+        REGISTRY["graph_harmonic_centrality"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_jonckheere_no_pair_join(spark, sf_dir):
+    """J comes from spine prefix sums: the five samples are never
+    joined against each other (only the 1-row totals broadcast)."""
+    plan = physical_plan(
+        REGISTRY["stat_jonckheere_terpstra"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bridge_edges_keyed_expansion_broadcast(spark, sf_dir):
+    """The BFS rounds are checkpointed out of the final plan; what
+    remains is the (heavy x reach) attachment, which must broadcast
+    the bounded reach side — no sort-merge, no cartesian product."""
+    plan = physical_plan(REGISTRY["graph_bridge_edges"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_easter_spine_broadcast(spark, sf_dir):
+    """The <=7-row easter spine attaches to orders via broadcast-hash
+    on year; no sort-merge join anywhere."""
+    plan = physical_plan(REGISTRY["time_easter_computus"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_allan_variance_windows_partition_on_type(spark, sf_dir):
+    """Both lag windows partition on event_type — no unpartitioned
+    window over the calendar spine."""
+    plan = physical_plan(REGISTRY["events_allan_variance"].fn(spark, sf_dir))
+    assert "windowspecdefinition(event_type" in plan, plan
+    assert plan.count("windowspecdefinition(") == plan.count(
+        "windowspecdefinition(event_type"
+    ), plan
+
+
+def test_hamming_audit_pure_codegen_pipeline(spark, sf_dir):
+    """The ECC pipeline is per-row expressions + one 3-group
+    aggregate: no join, no window, whole-stage codegen covers the
+    expression stages."""
+    df = REGISTRY["dq_hamming74_ecc_audit"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+               "Window", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan, (op, plan)
+    # exactly the two structural exchanges (partial->final agg, sort)
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial_count" in plan, plan
