@@ -552,66 +552,76 @@ HEADLINE = [
     "stats_energy_distance_exact",
     "stat_mann_whitney_cliffs_delta",
     "stats_friedman_blocked_ranks",
-
+    # wave-215 (round 11)
+    "sched_lpt_makespan_bound",
+    "stat_page_trend_test",
+    "stat_cochran_q_test",
+    "alloc_talmud_bankruptcy",
+    "graph_harmonic_centrality",
+    "stat_jonckheere_terpstra",
+    "graph_bridge_edges",
+    "time_easter_computus",
+    "events_allan_variance",
+    "dq_hamming74_ecc_audit",
 ]
 
 # The 50 heaviest headline queries from the last full BENCH_DETAIL
-# (round 9 close, sf0.1) — all guaranteed a warm steady-state
+# (round 10 close, sf0.1) — all guaranteed a warm steady-state
 # measurement every round. Cold-tier timings are deflated x0.5 before
 # ranking (single cold runs measure ~2-3x their steady state — the
 # r9 verdict's approx_hdr 7.4 in-suite vs 2.0-2.5 isolated). Regen:
 # sorted(queries, key=-time*(0.5 if tier in cold else 1))[:50].
 _HOT_GUARANTEED = [
+    "dedup_method_agreement",
     "graph_sssp_khop_cheapest",
     "sim_pq_adc_topk",
-    "dedup_method_agreement",
-    "graph_dag_critical_path",
-    "ml_model_scorecard",
-    "graph_functional_cycle_structure",
-    "graph_clustering_coefficient",
-    "timeseries_dtw_monthly",
+    "dedup_cluster_survivor_accounting",
     "pipeline_refinery_capstone_v2",
     "graph_mst_boruvka",
-    "search_prf_query_expansion",
-    "scheduling_knapsack_exact",
-    "sim_ivf_ann_topk",
-    "cache_lru_hit_rate",
-    "dedup_cross_source_matrix",
-    "approx_hdr_histogram_quantile_audit",
-    "dq_foreign_key_inference",
-    "graph_kcore_rounds",
-    "geo_getis_ord_hotspots",
-    "dedup_containment_asymmetric",
-    "search_rrf_rank_fusion",
-    "graph_triangle_count",
-    "layout_sort_order_rle_bakeoff",
-    "dq_primary_key_violation_audit",
-    "emb_knn_distance_outliers",
-    "dedup_cluster_survivor_accounting",
-    "dedup_minhash_lsh_pairs",
-    "revenue_recognition_schedule",
-    "emb_knn_label_accuracy",
+    "timeseries_dtw_monthly",
+    "graph_clustering_coefficient",
     "basket_apriori_triples",
-    "finance_arc_price_elasticity",
-    "stat_mood_dispersion_test",
-    "stats_cusum_arl_calibration",
-    "join_bucketed_colocated",
-    "encoding_huffman_5symbol_exact",
-    "stat_kruskal_wallis_ranksums",
-    "emb_mmr_diversified_topk",
-    "events_heavy_hitters_mg_replay",
-    "fuzzy_name_matches",
-    "multimodal_audio_pitch_autocorr",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_threshold_yield_curve",
-    "graph_personalized_pagerank",
-    "ml_brier_murphy_decomposition",
-    "ml_capstone_nb_threshold_fairness",
-    "streaming_scd2_upsert",
-    "stats_histogram_selectivity_audit",
-    "sql_integer_division_semantics_battery",
+    "graph_dag_critical_path",
     "approx_count_sketch_signed",
-    "inventory_reorder_point_replay",
+    "graph_functional_cycle_structure",
+    "dedup_containment_asymmetric",
+    "search_prf_query_expansion",
+    "emb_knn_distance_outliers",
+    "dedup_minhash_lsh_pairs",
+    "cache_lru_hit_rate",
+    "scheduling_knapsack_exact",
+    "graph_triangle_count",
+    "dq_foreign_key_inference",
+    "ml_capstone_nb_threshold_fairness",
+    "multimodal_audio_pitch_autocorr",
+    "emb_knn_label_accuracy",
+    "graph_kcore_rounds",
+    "layout_sort_order_rle_bakeoff",
+    "revenue_recognition_schedule",
+    "dedup_ngram_jaccard_pairs",
+    "join_bucketed_colocated",
+    "fuzzy_name_matches",
+    "streaming_scd2_upsert",
+    "events_markov_stationary_power",
+    "dedup_threshold_yield_curve",
+    "stat_mood_dispersion_test",
+    "encoding_huffman_5symbol_exact",
+    "dedup_cross_source_matrix",
+    "stat_kruskal_wallis_ranksums",
+    "graph_betweenness_nations",
+    "events_heavy_hitters_mg_replay",
+    "graph_eccentricity_diameter",
+    "graph_personalized_pagerank",
+    "ml_roc_threshold_sweep",
+    "sim_ivf_ann_topk",
+    "stats_histogram_selectivity_audit",
+    "q1_pricing_summary",
+    "streaming_token_bucket_quota",
+    "approx_hdr_histogram_quantile_audit",
+    "cf_recommendation_coverage",
+    "dedup_shingle_size_sensitivity",
+    "emb_mmr_diversified_topk",
+    "ml_model_scorecard",
 ]
 
 
@@ -620,7 +630,7 @@ _HOT_GUARANTEED = [
 # headline query gets a warm min-of-2 measurement every ~5 rounds
 # without the full suite ever exceeding the wall budget.
 _CORE_SIZE = 70
-_CORE_ROTATION = 10  # bump per round
+_CORE_ROTATION = 11  # bump per round
 
 # Always-warm CANARY set (round 7): a FIXED, stratified 27-query panel
 # (equi/bucketed/interval/fuzzy joins, windows, exact+fuzzy dedup,
