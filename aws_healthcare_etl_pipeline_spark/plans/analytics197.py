@@ -211,6 +211,7 @@ _PAGE_K = 6  # ordered treatments: months 1..6 of 1995
                     // (n * {_PAGE_K ** 2 * (_PAGE_K + 1) * (_PAGE_K ** 2 - 1)})
                     AS BIGINT) AS z2_micro
         FROM l CROSS JOIN nb
+        WHERE n > 0
     """,
     description="Page's L trend test for an ORDERED alternative "
     f"(monotone revenue growth across months 1..{_PAGE_K} of 1995) "
@@ -266,7 +267,10 @@ def stat_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_x4 = F.col("n") * k * (k + 1) ** 2
     var_x144 = F.col("n") * (k**2 * (k + 1) * (k**2 - 1))
     dev = 4 * F.col("big_l") - mean_x4
-    return big_l.crossJoin(F.broadcast(nb)).select(
+    # n = 0 (empty panel) would make the z2 integer division DIV 0 —
+    # NULL in Spark but an ERROR in DuckDB; filter the degenerate row
+    # identically in both engines (the oracle carries WHERE n > 0).
+    return big_l.crossJoin(F.broadcast(nb)).where(F.col("n") > 0).select(
         F.col("n").alias("n_blocks"),
         "big_l",
         mean_x4.cast("long").alias("l_mean_x4"),

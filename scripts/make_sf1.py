@@ -75,6 +75,9 @@ def replicated(con: duckdb.DuckDBPyConnection, name: str, select_tpl: str) -> No
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    # REPLICAS=1000 (sf100) builds a 1000-branch UNION ALL, past
+    # DuckDB's default 1000 expression-depth guard
+    con.sql("SET max_expression_depth TO 25000")
 
     copy_table(con, "region")
     copy_table(con, "nation")
