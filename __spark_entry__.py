@@ -83,6 +83,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest parity gate and the full sf0.01 driver_sim certification each
 # round).
 _VERIFICATION_PRIORITY = [
+    # --- wave-216 (round 11, second half) entries. The r10 verdict
+    # allows <=20 new queries/round, all driver-checked in-round at
+    # the head of the window (directive 5); with wave-215's 10 below,
+    # the round-11 window is 20 new + 30 backlog — the price is 10
+    # fewer backlog retirements, accepted to land the full growth cap
+    # with same-round driver rows. ---
+    "stat_durbin_watson_autocorr",
+    "regr_leverage_hat_audit",
+    "privacy_shamir_secret_sharing",
+    "ops_aimd_cwnd_replay",
+    "queue_lindley_waiting_replay",
+    "election_schulze_widest_path",
+    "election_irv_exhaustive_runoff",
+    "eval_bradley_terry_rounds",
+    "graph_scc_kosaraju_labels",
+    "sched_bankers_algorithm_safety",
     # --- wave-215 (round 11) entries, driver-checked in-round per the
     # r10 verdict's <=10-leading-slots rule ---
     "sched_lpt_makespan_bound",
