@@ -44,7 +44,11 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import query
 
-_BRANDS = ("Brand#11", "Brand#22", "Brand#33", "Brand#44", "Brand#55")
+# Five candidate brands that EXIST in the fixture part table (its
+# brands are Brand#1..Brand#25, not TPC-H's Brand#MN grid — the
+# mid-build draft used Brand#33/44/55, which matched zero parts and
+# degenerated every election to 2 candidates / empty FW output).
+_BRANDS = ("Brand#11", "Brand#13", "Brand#17", "Brand#19", "Brand#22")
 _D38 = "decimal(38,0)"
 
 
@@ -129,13 +133,18 @@ def _schulze_fw_sql() -> str:
             FROM prefs
         )"""
     ]
+    # LEFT joins: the matrix has no diagonal, so rows with a = k or
+    # b = k find no (k,k) partner — textbook FW leaves them unchanged
+    # (COALESCE to 0 makes the candidate a no-op; inner joins dropped
+    # them and emptied the relation after 5 rounds).
     for t, k in enumerate(_BRANDS):
         parts.append(f"""p{t + 1} AS MATERIALIZED (
             SELECT p.a, p.b,
-                   GREATEST(p.s, LEAST(ik.s, kj.s)) AS s
+                   GREATEST(p.s, LEAST(COALESCE(ik.s, 0),
+                                       COALESCE(kj.s, 0))) AS s
             FROM p{t} p
-            JOIN p{t} ik ON ik.a = p.a AND ik.b = '{k}'
-            JOIN p{t} kj ON kj.a = '{k}' AND kj.b = p.b
+            LEFT JOIN p{t} ik ON ik.a = p.a AND ik.b = '{k}'
+            LEFT JOIN p{t} kj ON kj.a = '{k}' AND kj.b = p.b
         )""")
     return ", ".join(parts)
 
@@ -178,7 +187,10 @@ def _schulze_fw_sql() -> str:
     "matrix.",
 )
 def election_schulze_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ballots = _ballots_df(spark, sf_dir)
+    # ballots appears on both sides of the pairwise self-join below;
+    # checkpoint once so the fact-scale spend aggregate + window run
+    # once, not once per side.
+    ballots = _ballots_df(spark, sf_dir).localCheckpoint()
     other = ballots.select(
         F.col("voter").alias("v2"),
         F.col("brand").alias("b2"),
@@ -199,14 +211,21 @@ def election_schulze_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_t = pairs.select(
         F.col("a").alias("ta"), F.col("b").alias("tb"), F.col("d").alias("dT")
     )
+    # Truncate lineage here: prefs is a <=20-row matrix, but the FW
+    # unroll below references it 3x per round — without a checkpoint
+    # the logical plan grows 3^5-fold (planning-time OOM, observed at
+    # sf0.01) and the fact-scale ballots subtree would be re-planned
+    # hundreds of times. One eager localCheckpoint = one fact pass.
     prefs = pairs.join(
         pairs_t, (pairs.a == pairs_t.tb) & (pairs.b == pairs_t.ta)
-    ).select("a", "b", "d", "dT")
+    ).select("a", "b", "d", "dT").localCheckpoint()
     p = prefs.select(
         "a",
         "b",
         F.when(F.col("d") > F.col("dT"), F.col("d")).otherwise(0).alias("s"),
     )
+    # LEFT joins + coalesce-to-0 mirror the oracle: rows with a = k or
+    # b = k have no (k,k) partner and must pass through unchanged.
     for k in _BRANDS:
         ik = p.where(F.col("b") == k).select(
             F.col("a").alias("ia"), F.col("s").alias("iks")
@@ -215,15 +234,20 @@ def election_schulze_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("jb"), F.col("s").alias("kjs")
         )
         p = (
-            p.join(F.broadcast(ik), p.a == ik.ia)
-            .join(F.broadcast(kj), p.b == kj.jb)
+            p.join(F.broadcast(ik), p.a == ik.ia, "left")
+            .join(F.broadcast(kj), p.b == kj.jb, "left")
             .select(
                 "a",
                 "b",
                 F.greatest(
-                    F.col("s"), F.least(F.col("iks"), F.col("kjs"))
+                    F.col("s"),
+                    F.least(
+                        F.coalesce(F.col("iks"), F.lit(0)),
+                        F.coalesce(F.col("kjs"), F.lit(0)),
+                    ),
                 ).alias("s"),
             )
+            .localCheckpoint()  # 20 rows; keeps the unrolled plan O(1)
         )
     p_t = p.select(
         F.col("a").alias("fa"), F.col("b").alias("fb"), F.col("s").alias("sT")
@@ -321,7 +345,13 @@ def election_schulze_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter; no iteration beyond the fixed unroll.",
 )
 def election_irv_exhaustive_runoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ballots = _ballots_df(spark, sf_dir)
+    # The 4 unrolled rounds re-reference ballots with a different
+    # eliminated-set filter each time (no exchange reuse possible), and
+    # each round's loser subtree nests every earlier round — one eager
+    # localCheckpoint of the (voter, brand, rank) relation makes the
+    # fact-scale spend aggregate run exactly once (was ~20s at sf0.01
+    # re-deriving it per round/branch).
+    ballots = _ballots_df(spark, sf_dir).localCheckpoint()
     elim = None  # 0..3-row DataFrame of eliminated brands, grows per round
     out = None
     for rnd in range(1, 5):
@@ -415,7 +445,7 @@ def _bt_mm_sql() -> str:
                CAST(ROW_NUMBER() OVER (ORDER BY q.p DESC, w.brand)
                     AS BIGINT) AS strength_rank
         FROM wins w JOIN q{_BT_ROUNDS} q ON q.brand = w.brand
-        ORDER BY brand
+        ORDER BY w.brand
     """,
     description="Bradley-Terry paired-comparison strengths from "
     "within-order brand duels (the brand with the higher exact line "
@@ -456,13 +486,17 @@ def eval_bradley_terry_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (ospend.brand != s2.brand2)
         & (ospend.cents > s2.cents2),
     ).select(F.col("brand").alias("a"), F.col("brand2").alias("b"))
+    # wins (5 rows) and duelmat (20 rows) are referenced inside every
+    # MM round; truncate lineage so the fact-scale order-keyed duel
+    # self-join runs once instead of 2^rounds times.
     wins = duels.groupBy(F.col("a").alias("brand")).agg(
         F.count(F.lit(1)).cast(_D38).alias("wins")
-    )
+    ).localCheckpoint()
     duelmat = (
         duels.unionAll(duels.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast(_D38).alias("n"))
+        .localCheckpoint()
     )
     p = wins.select("brand", F.lit(_BT_S6).cast(_D38).alias("p"))
     for _ in range(_BT_ROUNDS):
@@ -515,7 +549,7 @@ def _scc_doubling_sql() -> str:
         """r0 AS MATERIALIZED (
             SELECT u, v FROM edges
             UNION
-            SELECT node AS u, node AS v FROM nodes
+            SELECT x AS u, x AS v FROM nodes
         )"""
     ]
     for t in range(_SCC_DOUBLINGS):
@@ -619,15 +653,26 @@ def graph_scc_kosaraju_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("x")))
         .distinct()
     )
-    r = edges.unionAll(
-        nodes.select(F.col("x").alias("u"), F.col("x").alias("v"))
-    ).distinct()
+    # One eager localCheckpoint after the fact-scale edge build: each
+    # doubling round references r twice, so without truncation the
+    # logical plan holds 2^5 copies of the 5-table trade aggregate
+    # (measured 35-52s at sf0.01 in pure re-planning/re-execution).
+    # r is a <= (n^2 + n)-row closure relation — checkpointing it per
+    # round keeps the plan O(1) and the fact scan happens exactly once.
+    r = (
+        edges.unionAll(
+            nodes.select(F.col("x").alias("u"), F.col("x").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     for _ in range(_SCC_DOUBLINGS):
         r2 = r.select(F.col("u").alias("mu"), F.col("v").alias("mv"))
         r = (
             r.join(F.broadcast(r2), r.v == r2.mu)
             .select("u", F.col("mv").alias("v"))
             .distinct()
+            .localCheckpoint()
         )
     back = r.select(F.col("u").alias("bu"), F.col("v").alias("bv"))
     mutual = (

@@ -21,7 +21,7 @@ import duckdb
 
 from aws_healthcare_etl_pipeline_spark.plans import REGISTRY
 
-_BRANDS = ("Brand#11", "Brand#22", "Brand#33", "Brand#44", "Brand#55")
+from aws_healthcare_etl_pipeline_spark.plans.analytics200 import _BRANDS
 
 
 def _rows(spark, sf_dir, name):
