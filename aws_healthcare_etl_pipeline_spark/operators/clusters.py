@@ -62,24 +62,30 @@ def connected_components(
         lookup = propagated.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
+        old = labels.select(
+            F.col("node").alias("onode"), F.col("label").alias("olabel")
+        )
+        # Convergence folded into the round's single materialization
+        # (the Boruvka 3->2-jobs-per-round lesson): the old-label join
+        # and the change flag ride INSIDE the checkpointed plan, so
+        # the convergence probe is a scan of the materialized RDD
+        # instead of a second join job per round.
         jumped = (
             propagated.join(lookup, propagated.label == lookup.jnode, "left")
             .select(
                 "node",
                 F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
             )
+            .join(old, F.col("node") == old.onode)
+            .select(
+                "node",
+                "label",
+                (F.col("label") != F.col("olabel")).alias("chg"),
+            )
             .localCheckpoint(eager=True)  # flat lineage per round
         )
-        old = labels.select(
-            F.col("node").alias("onode"), F.col("label").alias("olabel")
-        )
-        changed = (
-            jumped.join(old, jumped.node == old.onode)
-            .filter(F.col("label") != F.col("olabel"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter("chg").limit(1).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")

@@ -315,7 +315,9 @@ def graph_personalized_pagerank(
                 .cast("long")
                 .alias("v_ppm"),
             )
-            .localCheckpoint(eager=False)  # barrier per power step
+            # eager per-step checkpoint (r11): lazy re-planned a growing
+            # RDD DAG every step — pure driver time on a tiny vector
+            .localCheckpoint(eager=True)
         )
     return (
         v.crossJoin(F.broadcast(source))

@@ -352,10 +352,21 @@ def graph_dag_critical_path(
             )
         )
         nxt = nodes.where(F.col("l") == lvl + 1)
-        cur = agg.join(nxt, agg.t == nxt.i).select(
-            "i",
-            (F.col("ptotal") + F.col("w")).cast("long").alias("total"),
-            "cnt",
+        # Eager per-round checkpoint: cand feeds mx AND the argmax
+        # join, so each unrolled level tripled the logical plan (the
+        # 5-level unroll reached ~500 Exchanges / 441 KB of plan text
+        # — r11 plan pin) and execution re-derived every prior level
+        # 3^k times. The per-level relation is bounded by the layer
+        # width (dimension-sized); one tiny job per level keeps the
+        # plan O(1) per level. Same DP, same argmax bookkeeping.
+        cur = (
+            agg.join(nxt, agg.t == nxt.i)
+            .select(
+                "i",
+                (F.col("ptotal") + F.col("w")).cast("long").alias("total"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
         )
     final_nodes = nodes.where(F.col("l") == _CP_LAYERS - 1)
     return (

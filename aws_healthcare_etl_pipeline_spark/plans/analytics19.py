@@ -398,9 +398,18 @@ def graph_kcore_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
         alive = deg.filter(F.col("c") >= KCORE_K).select("node")
-        e = e.join(
-            alive.withColumnRenamed("node", "pa"), "pa", "left_semi"
-        ).join(alive.withColumnRenamed("node", "pb"), "pb", "left_semi")
+        # Eager per-round checkpoint: e feeds the next round's degree
+        # aggregate (2 refs via the union), its own semi-filters and
+        # the per-round edge count, so the unrolled plan grew ~3^k
+        # (440 Exchanges / 345 KB of plan text at 3 rounds — r11 plan
+        # pin) and every summary branch re-derived the basket self-
+        # join. The surviving edge list only shrinks round over
+        # round; one small job per round keeps the plan O(1).
+        e = (
+            e.join(alive.withColumnRenamed("node", "pa"), "pa", "left_semi")
+            .join(alive.withColumnRenamed("node", "pb"), "pb", "left_semi")
+            .localCheckpoint(eager=True)
+        )
         summaries.append(
             alive.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
                 e.agg(F.count(F.lit(1)).alias("n_edges"))

@@ -629,9 +629,9 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(reach.select("s", "v"), ["s", "v"], "left_anti")
             .select("s", "v", F.lit(k).alias("dist"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        reach = reach.unionAll(nxt).localCheckpoint(eager=False)
+        reach = reach.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return (
         reach.groupBy(F.col("s").alias("nationkey"))

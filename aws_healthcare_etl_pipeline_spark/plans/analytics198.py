@@ -313,9 +313,9 @@ def graph_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(reach.select("eid", "node"), ["eid", "node"], "left_anti")
             .select("eid", "node", F.lit(k).alias("dist"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        reach = reach.unionAll(nxt).localCheckpoint(eager=False)
+        reach = reach.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     hit = reach.select(
         F.col("eid").alias("r_eid"),

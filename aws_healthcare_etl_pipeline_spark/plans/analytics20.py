@@ -486,7 +486,7 @@ def graph_label_propagation_rounds(spark: SparkSession, sf_dir: str) -> DataFram
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return (
         lab.groupBy(F.col("label").cast("bigint").alias("community"))

@@ -101,7 +101,10 @@ def _hex4_sql(expr: str) -> str:
     "dense co-supply graph; the DP is the honest replay). At 100 "
     "TB: each round shuffles (node, dist) "
     "tuples on the join key; bounded degree bounds the relax "
-    "fan-out; lazy checkpoints flatten lineage.",
+    "fan-out; zero-weight self-loops on every node carry the 'keep "
+    "current distance' branch through the relax join, so each round "
+    "is ONE join + ONE aggregate referencing the frontier once, and "
+    "an eager per-round checkpoint keeps plan and RDD DAG flat.",
 )
 def graph_sssp_khop_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -144,15 +147,34 @@ def graph_sssp_khop_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
+    nsup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("na")
+    )
+    # Zero-weight SELF-LOOPS on every supplier node replace the
+    # per-round `unionByName(dist)` "keep current distance" branch:
+    # min(dist + 0) == dist, so one join+aggregate per round
+    # references `dist` exactly ONCE and the whole 6-round unroll is a
+    # linear plan executed in a single action. The r5 form referenced
+    # dist twice per round and needed a localCheckpoint(eager=False)
+    # each round to stop 2^6 plan growth — and each of those calls
+    # forced a full driver-side physical-planning pass over a growing
+    # RDD DAG (measured 0.6-2.1s/round at sf0.1, ~8s of the query's
+    # 8.5s steady state; r11 profile). Same integer arithmetic, same
+    # result hash; the oracle's per-hop `UNION ALL d{k}` branch is
+    # exactly this self-loop in CTE form.
     edges = (
         wedges.select(F.col("u").alias("a"), F.col("v").alias("b"), "w")
         .unionByName(
             wedges.select(F.col("v").alias("a"), F.col("u").alias("b"), "w")
         )
+        .unionByName(
+            nsup.select(
+                F.col("sk").alias("a"),
+                F.col("sk").alias("b"),
+                F.lit(0).cast("long").alias("w"),
+            )
+        )
         .localCheckpoint(eager=True)  # relaxed against every round
-    )
-    nsup = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("na")
     )
     dist = nsup.groupBy("na").agg(F.min("sk").alias("node")).select(
         "na", "node", F.lit(0).cast("long").alias("dist")
@@ -162,15 +184,16 @@ def graph_sssp_khop_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with per-part supplier counts (measured 5% win at sf0.1,
         # not worth pinning a build side that AQE should size at
         # runtime — a forced broadcast is the 100x footgun here)
-        relaxed = (
+        dist = (
             dist.join(edges, dist.node == edges.a)
-            .select("na", F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-            .unionByName(dist)
-            .groupBy("na", "node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)  # flat lineage per round
+            .groupBy("na", F.col("b").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+            # eager per-round checkpoint: truncates BOTH the logical
+            # plan and the RDD DAG each round, so driver-side planning
+            # stays O(1)/round (the r5 lazy form re-planned a growing
+            # DAG: 0.6-2.1s/round of pure driver time at sf0.1)
+            .localCheckpoint()
         )
-        dist = relaxed
     members = nsup.select(
         F.col("sk").alias("m_sk"), F.col("na").alias("m_na")
     )

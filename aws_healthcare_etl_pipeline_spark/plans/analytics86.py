@@ -174,9 +174,9 @@ def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("sigma").cast("long").alias("sigma"))
             .join(reach.select("s", "v"), ["s", "v"], "left_anti")
             .select("s", "v", F.lit(k).alias("dist"), "sigma")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        reach = reach.unionAll(nxt).localCheckpoint(eager=False)
+        reach = reach.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     r1 = reach.select(
         F.col("s").alias("s"),

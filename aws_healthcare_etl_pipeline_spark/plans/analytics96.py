@@ -214,9 +214,9 @@ def graph_eccentricity_diameter(
             .agg(F.sum("sigma").cast("long").alias("sigma"))
             .join(reach.select("s", "v"), ["s", "v"], "left_anti")
             .select("s", "v", F.lit(k).alias("dist"), "sigma")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        reach = reach.unionAll(nxt).localCheckpoint(eager=False)
+        reach = reach.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     ecc = reach.groupBy(F.col("s").alias("node")).agg(
         F.max("dist").cast("long").alias("ecc")

@@ -101,12 +101,31 @@ def convert_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Read-schema cache, keyed by resolved parquet path. Schema inference
+# on a bare ``spark.read.parquet`` costs ~130 ms of driver time per
+# call at sf0.1 (footer sampling + file listing) vs ~20 ms with a
+# pinned schema — and the suite issues load_table thousands of times.
+# Caching the inferred StructType per path keeps behavior identical
+# for ANY fixture vintage (the first load still infers from the real
+# footer) while every later load skips inference, exactly what a
+# catalog-backed table does in production. Metadata only — never rows.
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return convert_events_ts(spark.read.schema(events_read_schema(path)).parquet(path))
-    return spark.read.parquet(path)
+        schema = _SCHEMA_CACHE.get(path)
+        if schema is None:
+            schema = events_read_schema(path)
+            _SCHEMA_CACHE[path] = schema
+        return convert_events_ts(spark.read.schema(schema).parquet(path))
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:

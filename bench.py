@@ -714,13 +714,19 @@ def _calibration_sec(spark, runs: int) -> tuple[float, list[float]]:
 
 def main() -> None:
     # sf0.1 parquet files are ~1-25 MB — at the default 128 MB split
-    # size every scan is 1 task. 4 MB splits give the 32 local cores
+    # size every scan is 1 task. Small splits give the 32 local cores
     # work; on a real cluster at 100 TB the default (set in session.py)
-    # is correct and this override would be dropped.
+    # is correct and this override would be dropped. r11 re-tuned the
+    # value 4 MB -> 16 MB with a measured A/B over scan-bound, CPU-
+    # bound (dedup/minhash — whose compute parallelism comes from
+    # operators/parallelism.widen, not scan splits) and multimodal
+    # queries: per-task overhead is ~20 ms on this host, so 4 MB
+    # splits taxed every scan ~-12% net; 32 MB over-coarsens
+    # (q5/emb_knn/audio regress). See OPTIMIZATION_r11.md.
     spark = get_spark(
         app_name="bench",
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
             # progress bars shared the driver's captured output window in
             # r2 and crowded out the result line — keep them off here
             "spark.ui.showConsoleProgress": "false",
