@@ -364,8 +364,13 @@ def election_irv_exhaustive_runoff(spark: SparkSession, sf_dir: str) -> DataFram
             .groupBy("brand")
             .agg(F.count(F.lit(1)).cast("long").alias("votes"))
         )
+        # 1-row relation, referenced by this round's output AND every
+        # later round's eliminated set — eager checkpoint keeps the
+        # 4-round unroll's plan linear instead of branch-nested
+        # (was 102 KB of plan text).
         loser = (
             votes.orderBy("votes", "brand").limit(1).select("brand")
+            .localCheckpoint()
         )
         this_round = votes.join(
             F.broadcast(loser.select(F.col("brand").alias("lb"))),

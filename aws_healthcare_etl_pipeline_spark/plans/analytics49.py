@@ -247,6 +247,21 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             F.coalesce(F.col("jparent"), F.col("parent")).alias("parent"),
         )
+        # second pointer jump (r11): flattens depth-4 chains in the
+        # same per-round job, so contraction converges in fewer outer
+        # rounds (each round = 2 jobs). The MSF is unique under the
+        # lexicographic (w, ea, eb, na) edge order, so faster merge
+        # interleaving cannot change the chosen forest.
+        jump = jump.alias("j1").join(
+            jump.select(
+                F.col("node").alias("knode"), F.col("parent").alias("kparent")
+            ),
+            F.col("parent") == F.col("knode"),
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("kparent"), F.col("parent")).alias("parent"),
+        )
         comp = (
             comp.join(
                 jump.withColumnRenamed("node", "comp"),

@@ -111,15 +111,18 @@ def _dtw_oracle() -> str:
     oracle=_dtw_oracle(),
     description="Exact dynamic time warping between consecutive "
     "years' monthly revenue curves: the 12x12 DP lattice "
-    "d(i,j) = |x_j - y_i| + min(up, left, diag) is UNROLLED into 12 "
-    "generated projection steps whose expression text both engines "
-    "compile identically — no recursion, no UDF, every cell an "
-    "exact cent integer — with plain L1 distance alongside to show "
-    "what alignment tolerance buys. This is the repo's unrolled-DP "
-    "pattern (cf. MMR, Huffman) applied to the classic elastic "
-    "distance. 100 TB shape: one partial-agg shuffle to the "
-    "bounded (year x month) grain; the DP runs on a 4-row table "
-    "with 12 chained projections, free at any fact volume.",
+    "d(i,j) = |x_j - y_i| + min(up, left, diag) runs as a nested "
+    "integer F.aggregate fold over the month arrays (the oracle "
+    "replays it as 12 unrolled projection CTEs — identical exact "
+    "cent lattice, no recursion, no UDF) — with plain L1 distance "
+    "alongside to show what alignment tolerance buys. The r10 form "
+    "unrolled the 12 steps as chained generated projections, which "
+    "CollapseProject merged into exponentially nested expression "
+    "text (144 KB plan, re-optimized per run, 4-5s warm for 4 "
+    "rows); the fold is one constant-size expression. 100 TB "
+    "shape: one partial-agg shuffle to the bounded (year x month) "
+    "grain; the DP folds on a 4-row table, free at any fact "
+    "volume.",
 )
 def timeseries_dtw_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -147,24 +150,63 @@ def timeseries_dtw_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("yr").alias("year_b"),
         *[F.col(f"m{m}").alias(f"y{m}") for m in range(1, _MONTHS + 1)],
     )
-    cur = a.join(b, "year_a")
-    carry = ["year_a", "year_b"] + [
-        c for j in range(1, _MONTHS + 1) for c in (f"x{j}", f"y{j}")
-    ]
-    # the identical generated DP step text, compiled by Spark
-    for i in range(1, _MONTHS + 1):
-        if i > 1:
-            cur = cur.selectExpr(
-                *carry,
-                *[f"c{j} AS p{j}" for j in range(1, _MONTHS + 1)],
-            )
-        cur = cur.selectExpr(*carry, *_dtw_step_exprs(i))
-    l1 = " + ".join(f"abs(x{m} - y{m})" for m in range(1, _MONTHS + 1))
-    return cur.selectExpr(
-        "CAST(year_a AS LONG) AS year_a",
-        "CAST(year_b AS LONG) AS year_b",
-        f"CAST(c{_MONTHS} AS LONG) AS dtw_cents",
-        f"CAST({l1} AS LONG) AS l1_cents",
+    # r11: the DP as a nested F.aggregate fold over month ARRAYS
+    # instead of 12 chained generated projections. CollapseProject
+    # merged those 12 steps into exponentially nested expressions
+    # (144 KB of plan text) that catalyst re-optimized on every run —
+    # 4-5s warm for a 4-row relation. The fold is one constant-size
+    # expression walking the identical integer lattice
+    # c[i][j] = |x_j - y_i| + min(up, left, diag), so dtw_cents is
+    # bit-identical to the oracle's unrolled CTE replay. xs/ys are
+    # materialized attributes per the HOF-lambda capture contract.
+    row = a.join(b, "year_a").select(
+        "year_a",
+        "year_b",
+        F.array(*[F.col(f"x{m}") for m in range(1, _MONTHS + 1)]).alias("xs"),
+        F.array(*[F.col(f"y{m}") for m in range(1, _MONTHS + 1)]).alias("ys"),
+    )
+    xs, ys = F.col("xs"), F.col("ys")
+    months_tail = F.sequence(F.lit(2), F.lit(_MONTHS))
+
+    def cost(j, i):
+        return F.abs(F.element_at(xs, j) - F.element_at(ys, i))
+
+    init = F.aggregate(
+        months_tail,
+        F.array(cost(F.lit(1), F.lit(1))),
+        lambda acc, j: F.concat(
+            acc, F.array(cost(j, F.lit(1)) + F.element_at(acc, -1))
+        ),
+    )
+    dp = F.aggregate(
+        months_tail,
+        init,
+        lambda p, i: F.aggregate(
+            months_tail,
+            F.array(F.element_at(p, 1) + cost(F.lit(1), i)),
+            lambda c, j: F.concat(
+                c,
+                F.array(
+                    cost(j, i)
+                    + F.least(
+                        F.element_at(p, j),
+                        F.element_at(c, -1),
+                        F.element_at(p, j - 1),
+                    )
+                ),
+            ),
+        ),
+    )
+    l1 = F.aggregate(
+        F.zip_with(xs, ys, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+    return row.select(
+        F.col("year_a").cast("long").alias("year_a"),
+        F.col("year_b").cast("long").alias("year_b"),
+        F.element_at(dp, _MONTHS).cast("long").alias("dtw_cents"),
+        l1.cast("long").alias("l1_cents"),
     ).orderBy("year_a")
 
 
