@@ -83,67 +83,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest parity gate and the full sf0.01 driver_sim certification each
 # round).
 _VERIFICATION_PRIORITY = [
-    # --- wave-216 (round 11, second half) entries. The r10 verdict
-    # allows <=20 new queries/round, all driver-checked in-round at
-    # the head of the window (directive 5); with wave-215's 10 below,
-    # the round-11 window is 20 new + 30 backlog — the price is 10
-    # fewer backlog retirements, accepted to land the full growth cap
-    # with same-round driver rows. ---
-    "stat_durbin_watson_autocorr",
-    "regr_leverage_hat_audit",
-    "privacy_shamir_secret_sharing",
-    "ops_aimd_cwnd_replay",
-    "queue_lindley_waiting_replay",
-    "election_schulze_widest_path",
-    "election_irv_exhaustive_runoff",
-    "eval_bradley_terry_rounds",
-    "graph_scc_kosaraju_labels",
-    "sched_bankers_algorithm_safety",
-    # --- wave-215 (round 11) entries, driver-checked in-round per the
-    # r10 verdict's <=10-leading-slots rule ---
-    "sched_lpt_makespan_bound",
-    "stat_page_trend_test",
-    "stat_cochran_q_test",
-    "alloc_talmud_bankruptcy",
-    "graph_harmonic_centrality",
-    "stat_jonckheere_terpstra",
-    "graph_bridge_edges",
-    "time_easter_computus",
-    "events_allan_variance",
-    "dq_hamming74_ecc_audit",
-    # --- the never-driver-checked backlog (172 after round 10), by
-    # sf0.1 bench cost desc. Wave-215 entries (round 11) are inserted
-    # above this marker as they land, <=10 total. ---
-    "events_repeat_rate_7d",
-    "compression_rle_economics",
-    "audit_merkle_month_digests",
-    "ml_target_encoding_loo",
-    "opt_knapsack_density_gap",
-    "quality_expectation_suite",
-    "finance_vwap_divergence",
-    "sec_impossible_travel_audit",
-    "text_zipf_bigram_buckets",
-    "finance_price_volume_mix",
-    "stat_quantile_mapping_transfer",
-    "attribution_position_based",
-    "stats_simpsons_paradox_scan",
-    "events_watermark_lateness_profile",
-    "anomaly_hampel_filter_daily",
-    "stats_grain_fallacy_audit",
-    "orders_priority_mix_shift",
-    "dq_missingness_pattern_mining",
-    "stats_median_of_means",
-    "causal_diff_in_differences",
-    "finance_price_volume_bridge",
-    "layout_dictionary_encoding_economics",
-    "isotonic_regression_exact",
-    "sql_relational_division",
-    "causal_rdd_quantity_cutoff",
-    "emb_int8_quantization_error",
-    "alloc_airport_game_shapley",
-    "causal_coarsened_exact_matching",
-    "text_hashing_trick_collisions",
-    "multimodal_video_scene_cuts",
+    # --- round-12 verification window: the next 50-query tranche of the
+    # never-driver-checked backlog (142 remaining at r12 open), kept in
+    # the r11 cost-desc order. The 50 entries verified in round 11
+    # (waves 215/216 + 30 backlog) rotate to the TAIL below, so
+    # CORRECTNESS_r12 keys are disjoint from r01-r11 (standing
+    # directive). ---
     "routing_tsp_nn_2opt",
     "corpus_drift_idf_shift",
     "sales_quarter_hockey_stick",
@@ -286,6 +231,58 @@ _VERIFICATION_PRIORITY = [
     "serving_decayed_leaderboard",
     "privacy_randomized_response_estimate",
     "events_poisson_dispersion_test",
+    # --- verified green in round 11 (waves 215/216 + backlog tranche),
+    # rotated behind the never-checked backlog ---
+    "stat_durbin_watson_autocorr",
+    "regr_leverage_hat_audit",
+    "privacy_shamir_secret_sharing",
+    "ops_aimd_cwnd_replay",
+    "queue_lindley_waiting_replay",
+    "election_schulze_widest_path",
+    "election_irv_exhaustive_runoff",
+    "eval_bradley_terry_rounds",
+    "graph_scc_kosaraju_labels",
+    "sched_bankers_algorithm_safety",
+    "sched_lpt_makespan_bound",
+    "stat_page_trend_test",
+    "stat_cochran_q_test",
+    "alloc_talmud_bankruptcy",
+    "graph_harmonic_centrality",
+    "stat_jonckheere_terpstra",
+    "graph_bridge_edges",
+    "time_easter_computus",
+    "events_allan_variance",
+    "dq_hamming74_ecc_audit",
+    "events_repeat_rate_7d",
+    "compression_rle_economics",
+    "audit_merkle_month_digests",
+    "ml_target_encoding_loo",
+    "opt_knapsack_density_gap",
+    "quality_expectation_suite",
+    "finance_vwap_divergence",
+    "sec_impossible_travel_audit",
+    "text_zipf_bigram_buckets",
+    "finance_price_volume_mix",
+    "stat_quantile_mapping_transfer",
+    "attribution_position_based",
+    "stats_simpsons_paradox_scan",
+    "events_watermark_lateness_profile",
+    "anomaly_hampel_filter_daily",
+    "stats_grain_fallacy_audit",
+    "orders_priority_mix_shift",
+    "dq_missingness_pattern_mining",
+    "stats_median_of_means",
+    "causal_diff_in_differences",
+    "finance_price_volume_bridge",
+    "layout_dictionary_encoding_economics",
+    "isotonic_regression_exact",
+    "sql_relational_division",
+    "causal_rdd_quantity_cutoff",
+    "emb_int8_quantization_error",
+    "alloc_airport_game_shapley",
+    "causal_coarsened_exact_matching",
+    "text_hashing_trick_collisions",
+    "multimodal_video_scene_cuts",
 ]
 
 

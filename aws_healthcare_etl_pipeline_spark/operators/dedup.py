@@ -530,6 +530,17 @@ def ngram_jaccard_pairs(
             F.array_distinct(F.transform(F.col("shingles"), lambda s: F.xxhash64(s)))
         ).alias("hs"),
     ).withColumn("n_sh", F.size("hs"))
+    # r12 note: `hashed` feeds EIGHT plan branches (both prefix
+    # sides, the global freq table, and the a/b sides of the two
+    # verify stages — 32 parquet scans in the r12 before-pin). A
+    # localCheckpoint here was TRIED and REJECTED: measured A/B
+    # (same session, min-of-3) read 2.84s vs 2.87s on
+    # dedup_ngram_jaccard_pairs and 6.20s vs 5.66s on
+    # dedup_method_agreement — the branches recompute in PARALLEL
+    # inside broadcast stages, while the checkpoint adds a serial
+    # materialization barrier. At cluster scale the 8x recompute is
+    # 8 scans of the corpus; revisit with a disk-backed persist if
+    # scans dominate there.
     # Document-frequency canonical order for the PREFIXES (PPJoin's
     # df-ordering, r4): r3 ordered prefixes by hash VALUE, so every
     # doc's prefix held the globally-smallest hashes it possessed — on

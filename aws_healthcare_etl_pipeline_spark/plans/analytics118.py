@@ -311,27 +311,31 @@ def graph_dag_critical_path(
         )
         .localCheckpoint(eager=False)  # dimension-sized, reused 7x
     )
-    cnts = nodes.groupBy("l").agg(
-        F.count(F.lit(1)).cast("long").alias("wc")
-    )
+    # Layer widths via ONE bounded collect (_CP_LAYERS rows — layer
+    # count is a query constant, not data-sized): the r11 form
+    # broadcast a 1-row `wc` relation per level, which AQE executed
+    # as a separate broadcast-exchange job each level. Literal widths
+    # keep the unrolled plan free of those 5 subquery jobs.
+    widths = {
+        r["l"]: int(r["wc"])
+        for r in nodes.groupBy("l")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .collect()
+    }
     cur = nodes.where(F.col("l") == 0).select(
         "i",
         F.col("w").cast("long").alias("total"),
         F.lit(1).cast("long").alias("cnt"),
     )
     for lvl in range(_CP_LAYERS - 1):
-        wc = F.broadcast(
-            cnts.where(F.col("l") == lvl + 1).select("wc")
-        )
+        wc = F.lit(widths[lvl + 1]).cast("long")
         cand = (
-            cur.crossJoin(wc)
-            .select(
+            cur.select(
                 F.explode(
                     F.array_distinct(
                         F.array(
                             *[
-                                (F.col("i") * _CP_MULT + c)
-                                % F.col("wc")
+                                (F.col("i") * _CP_MULT + c) % wc
                                 for c in range(3)
                             ]
                         )
@@ -341,9 +345,19 @@ def graph_dag_critical_path(
                 "cnt",
             )
         )
-        mx = cand.groupBy("t").agg(F.max("total").alias("mt"))
+        # r12: the per-level argmax as ONE window over t (max(total)
+        # riding the same partitioning the groupBy reuses) instead of
+        # a separate groupBy + broadcast-join back — `cand` is now
+        # referenced exactly ONCE per level, so the 6-level unroll is
+        # a LINEAR plan (the r11 form referenced cand twice, grew 3^k,
+        # and needed an eager checkpoint per level: ~40 Spark jobs of
+        # driver round trips for dimension-sized relations). With the
+        # plan linear, no per-level checkpoint is needed at all — the
+        # whole DP executes as one action. Same DP, same argmax
+        # bookkeeping: rows at the per-t max, sum of their counts.
+        wt = Window.partitionBy("t")
         agg = (
-            cand.join(F.broadcast(mx), "t")
+            cand.withColumn("mt", F.max("total").over(wt))
             .where(F.col("total") == F.col("mt"))
             .groupBy("t")
             .agg(
@@ -352,21 +366,10 @@ def graph_dag_critical_path(
             )
         )
         nxt = nodes.where(F.col("l") == lvl + 1)
-        # Eager per-round checkpoint: cand feeds mx AND the argmax
-        # join, so each unrolled level tripled the logical plan (the
-        # 5-level unroll reached ~500 Exchanges / 441 KB of plan text
-        # — r11 plan pin) and execution re-derived every prior level
-        # 3^k times. The per-level relation is bounded by the layer
-        # width (dimension-sized); one tiny job per level keeps the
-        # plan O(1) per level. Same DP, same argmax bookkeeping.
-        cur = (
-            agg.join(nxt, agg.t == nxt.i)
-            .select(
-                "i",
-                (F.col("ptotal") + F.col("w")).cast("long").alias("total"),
-                "cnt",
-            )
-            .localCheckpoint(eager=True)
+        cur = agg.join(nxt, agg.t == nxt.i).select(
+            "i",
+            (F.col("ptotal") + F.col("w")).cast("long").alias("total"),
+            "cnt",
         )
     final_nodes = nodes.where(F.col("l") == _CP_LAYERS - 1)
     return (

@@ -179,25 +179,23 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = ec.select(F.col("ca").alias("c"), ed.alias("ed")).unionByName(
             ec.select(F.col("cb").alias("c"), ed.alias("ed"))
         )
+        # r12: no per-round .distinct() — an edge picked by BOTH of its
+        # endpoint components appears twice, which is harmless
+        # downstream (hook is a groupBy-min; chosen dedups ONCE at the
+        # end), so the dedup exchange is deferred out of the loop:
+        # one fewer shuffle stage per round.
         picks = (
             cand.groupBy("c")
             .agg(F.min("ed").alias("ed"))  # lexicographic: weight first
             .select("ed.na", "ed.w", "ed.ea", "ed.eb")
-            .distinct()
             .localCheckpoint(eager=True)
         )
         # Convergence check folded into the picks materialization: no
         # cross edge <=> no candidate <=> picks empty. Checking picks
-        # (already checkpointed) costs a scan of a tiny cached table,
-        # where the previous standalone `ec.limit(1).count()` re-ran
-        # the full relabel join — one of THREE jobs per round, and a
-        # duplicate of the work picks does anyway. 3 -> 2 heavy jobs
-        # per round.
+        # (already checkpointed) costs a scan of a tiny cached table.
         if picks.limit(1).count() == 0:
             break
-        chosen = (
-            picks if chosen is None else chosen.unionByName(picks).distinct()
-        )
+        chosen = picks if chosen is None else chosen.unionByName(picks)
         merge_pairs = (
             picks.join(
                 comp.select(
@@ -286,7 +284,11 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("total_weight"),
         ).orderBy("nationkey")
     per_nation = (
-        chosen.groupBy(F.col("na").alias("nationkey"))
+        # single end-of-loop dedup replaces the r11 per-round
+        # .distinct(): the forest edge set is identical (duplicates
+        # only ever arise from both endpoints picking the same edge)
+        chosen.distinct()
+        .groupBy(F.col("na").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("mst_edges"),
             F.sum("w").cast("long").alias("total_weight"),

@@ -174,6 +174,16 @@ def graph_sssp_khop_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long").alias("w"),
             )
         )
+        # r12: partition + sort by the join key before materializing.
+        # localCheckpoint under AQE does NOT carry partitioning
+        # metadata into the LogicalRDD (verified: the relax joins
+        # still plan an Exchange over the RDD scan), but the
+        # materialized blocks being evenly sized and pre-sorted by
+        # `a` makes each round's edge-side exchange + sort cheap
+        # (sorted runs; measured 4.3s vs 5.6s warm for the 6-round
+        # loop without it).
+        .repartition(F.col("a"))
+        .sortWithinPartitions("a")
         .localCheckpoint(eager=True)  # relaxed against every round
     )
     dist = nsup.groupBy("na").agg(F.min("sk").alias("node")).select(
@@ -188,11 +198,14 @@ def graph_sssp_khop_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.join(edges, dist.node == edges.a)
             .groupBy("na", F.col("b").alias("node"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
-            # eager per-round checkpoint: truncates BOTH the logical
-            # plan and the RDD DAG each round, so driver-side planning
-            # stays O(1)/round (the r5 lazy form re-planned a growing
-            # DAG: 0.6-2.1s/round of pure driver time at sf0.1)
-            .localCheckpoint()
+            # r12: NO per-round checkpoint. With the self-loop form the
+            # frontier is referenced exactly once per round, so the
+            # 6-round unroll is a LINEAR plan (one join + one agg per
+            # round) planned once and executed as a single action —
+            # the r11 eager checkpoints cost 6 materialization round
+            # trips (~38 Spark jobs with AQE) for bounded per-round
+            # relations. (The r5 problem was the DOUBLE reference +
+            # lazy checkpoint, which grew the DAG 2^rounds.)
         )
     members = nsup.select(
         F.col("sk").alias("m_sk"), F.col("na").alias("m_na")

@@ -274,36 +274,148 @@ def events_markov_stationary_power(
         "i",
         "j",
         F.expr("CAST(c1000 div ci AS LONG)").alias("p_milli"),
-    ).localCheckpoint(eager=True)  # k^2 rows; reused every step
-    states = p.select(F.col("i").alias("state")).distinct()
-    k = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    v = (
-        states.crossJoin(F.broadcast(k))
-        .select(
-            "state", F.expr("CAST(1000000 div k AS LONG)").alias("v_ppm")
-        )
-        .localCheckpoint(eager=True)
     )
-    for _ in range(_POWER_STEPS):
-        v = (
-            v.join(p, p.i == v.state)
-            .groupBy(F.col("j").alias("state"))
-            .agg(
-                F.sum(F.expr("(v_ppm * p_milli) div 1000"))
-                .cast("long")
-                .alias("v_ppm")
+    # r12: the 16 power steps as ONE in-row integer fold over the
+    # bounded k-state matrix (the DTW-fold lesson). The r11 form ran
+    # an eager localCheckpoint per step — 16 barrier jobs (~63 Spark
+    # jobs with AQE stage materializations) for a k<=5-state vector,
+    # pure driver round-trip cost. Here the k^2 matrix collapses to a
+    # single row (map keyed by src_idx*k+dst_idx; a key is PRESENT
+    # iff the transition exists — p_milli may legitimately be 0) and
+    # the identical recurrence v'_j = sum_i (v_i * P_ij) div 1000
+    # runs as a constant-size JVM fold: zero checkpoints, one action.
+    # A parallel boolean array replays the join's row-EXISTENCE
+    # semantics (a state drops out of v when no present predecessor
+    # has a transition into it, even though its folded value is 0 —
+    # values alone cannot distinguish the two because p_milli=0 edges
+    # exist). Truncating division is reproduced exactly in integers:
+    # (prod - prod % 1000) / 1000 divides an exact multiple, so the
+    # double division is exact for all magnitudes here (< 2^53).
+    cells = p.groupBy().agg(
+        F.collect_list(F.struct("i", "j", "p_milli")).alias("cells")
+    )
+    row = cells.select(
+        "cells",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.transform("cells", lambda c: c["i"]),
+                    F.transform("cells", lambda c: c["j"]),
+                )
             )
-            # eager per-step checkpoint: the lazy form re-planned a
-            # growing RDD DAG on every step (16 steps measured 4.7s
-            # warm; eager 3.2s, r11 profile) — the k-state vector is
-            # tiny, so the per-step job is a few ms of real work
-            .localCheckpoint(eager=True)
+        ).alias("states"),
+        F.array_sort(
+            F.array_distinct(F.transform("cells", lambda c: c["i"]))
+        ).alias("srcs"),
+    )
+    k = F.size("states")
+    row = row.select(
+        "states",
+        "srcs",
+        F.map_from_entries(
+            F.transform(
+                "cells",
+                lambda c: F.struct(
+                    (
+                        (F.array_position(F.col("states"), c["i"]) - 1) * k
+                        + (F.array_position(F.col("states"), c["j"]) - 1)
+                    )
+                    .cast("long")
+                    .alias("key"),
+                    c["p_milli"].alias("value"),
+                ),
+            )
+        ).alias("pmap"),
+    )
+    k = F.size("states")
+    k0 = F.size("srcs")
+    idxs = F.sequence(F.lit(0), k - F.lit(1))
+
+    def _div(prod, d: int):
+        # exact integer `prod div d` for nonnegative longs: subtract
+        # the remainder, then the double division is exact
+        return ((prod - prod % d) / d).cast("long")
+
+    # v0: uniform 1000000 div k0 over source states, 0 elsewhere
+    v0 = F.transform(
+        F.col("states"),
+        lambda s: F.when(
+            F.array_contains(F.col("srcs"), s),
+            (
+                (
+                    F.lit(1000000).cast("long")
+                    - F.lit(1000000).cast("long") % k0.cast("long")
+                )
+                / k0.cast("long")
+            ).cast("long"),
         )
-    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    pr0 = F.transform(
+        F.col("states"), lambda s: F.array_contains(F.col("srcs"), s)
+    )
+
+    def _pcell(ix, jx):
+        return F.element_at(F.col("pmap"), (ix * k + jx).cast("long"))
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_POWER_STEPS)),
+        F.struct(v0.alias("v"), pr0.alias("pr")),
+        lambda acc, _: F.struct(
+            F.transform(
+                idxs,
+                lambda jx: F.aggregate(
+                    idxs,
+                    F.lit(0).cast("long"),
+                    lambda s, ix: s
+                    + _div(
+                        F.element_at(acc["v"], ix + F.lit(1))
+                        * F.coalesce(
+                            _pcell(ix, jx), F.lit(0).cast("long")
+                        ),
+                        1000,
+                    ),
+                ),
+            ).alias("v"),
+            F.transform(
+                idxs,
+                lambda jx: F.aggregate(
+                    idxs,
+                    F.lit(False),
+                    lambda b, ix: b
+                    | (
+                        F.element_at(acc["pr"], ix + F.lit(1))
+                        & _pcell(ix, jx).isNotNull()
+                    ),
+                ),
+            ).alias("pr"),
+        ),
+    )
+    stationary = (
+        row.select(
+            F.explode(
+                F.arrays_zip(
+                    F.col("states"), fold["v"].alias("v"), fold["pr"].alias("pr")
+                )
+            ).alias("z")
+        )
+        .where(F.col("z.pr"))
+        .select(
+            F.col("z.states").alias("state"),
+            F.col("z.v").alias("v_ppm"),
+        )
+    )
+    # empirical distribution in the same scan family: the unpartitioned
+    # window runs over the k-row grouped frame, replacing the previous
+    # second events scan for the total count
     emp = (
         ev.groupBy(F.col("et").alias("state"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            "cnt",
+            F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+        )
         .select(
             "state",
             F.expr("CAST(cnt * 1000000 div n AS LONG)").alias(
@@ -312,7 +424,7 @@ def events_markov_stationary_power(
         )
     )
     return (
-        v.join(emp, "state")
+        stationary.join(emp, "state")
         .select("state", F.col("v_ppm").alias("stationary_ppm"), "empirical_ppm")
         .orderBy("state")
     )

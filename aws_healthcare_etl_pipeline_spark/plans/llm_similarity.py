@@ -297,7 +297,10 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    ivf = ivf_topk_df(emb)
+    # r12: same double-reference as sim_pq_adc_topk — the IVF probe
+    # pipeline fed both the n_ret aggregate and the truth-hits join;
+    # one bounded (N_QUERIES x TOP_K) checkpoint halves the index scan
+    ivf = ivf_topk_df(emb).localCheckpoint(eager=False)
     truth = brute_force_top_k(widen(emb, "vec_id"), queries_df, k=TOP_K)
     hits = ivf.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"])
     per_query = (
@@ -407,7 +410,13 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.parallelism import widen
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pq_top = pq_topk_df(emb)
+    # r12: the self-grading harness references the PQ result TWICE
+    # (n_ret per query + the truth-hits join), so without a
+    # materialization the ENTIRE encode+ADC-scan pipeline ran twice
+    # per action (two BroadcastNestedLoopJoin corpus passes in the
+    # before-pin). The result is bounded (N_QUERIES x TOP_K rows) —
+    # checkpoint it lazily and pay the scan once.
+    pq_top = pq_topk_df(emb).localCheckpoint(eager=False)
     emb_wide = widen(emb, "vec_id")
     truth = brute_force_top_k(
         emb_wide,

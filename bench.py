@@ -676,6 +676,20 @@ _CANARY = [
 ]
 
 
+# FIXED comparison cohort (round 12, r11 verdict item 5): the canary
+# panel plus the round-10 top-10-slowest-warm set, emitted as its own
+# summary key every round. The driver's prev/now comparison joins the
+# top-10-slowest window, which has survivorship bias built in — a
+# query that gets FASTER leaves the window and reads as churn. This
+# cohort never changes membership, is always warm-measured (every
+# member is in _CANARY or _HOT_GUARANTEED), and gives any round-over-
+# round comparison a stable >=20-query join. Additions-only: existing
+# summary keys are untouched. Do NOT rotate this list.
+_COHORT = _CANARY + [
+    q for q in _HOT_GUARANTEED[:10] if q not in set(_CANARY)
+]
+
+
 def _calibration_sec(spark, runs: int) -> tuple[float, list[float]]:
     """Host-speed probe (round 9): a FIXED synthetic shuffle-agg that
     touches no repo data — ``spark.range(3e8)`` hashed to 1M keys,
@@ -897,6 +911,8 @@ def main() -> None:
         "queries": top10,
         "queries_tier": "warm-measured only (canary+warm); cold singles below",
         "cold_top5": cold_top5,
+        # fixed-membership, always-warm comparison cohort (see _COHORT)
+        "cohort": {q: timings[q] for q in _COHORT if q in timings},
         "sf": sf_val,
         "n_queries": len(timings),
         "warm_tier": len(timings) - single_run_tail,

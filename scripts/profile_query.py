@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
 
     spark = get_spark(
         app_name="profile",
@@ -70,24 +72,24 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         t_first = time.perf_counter() - t0
 
-        def next_job_id() -> int:
-            try:
-                return int(
-                    spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
-                )
-            except Exception:
-                return -1
-
+        # Jobs per warm run via the PUBLIC job-group API (the r11 form
+        # read dagScheduler().nextJobId(), a private accessor that went
+        # away in Spark 4.1): tag one run with a unique group id and
+        # count the group's job ids afterwards.
         best, jobs_delta = None, None
-        for _ in range(args.runs):
-            j0 = next_job_id()
+        for r in range(args.runs):
+            group = f"profile:{name}:{r}"
+            spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
             d2 = spec.fn(spark, SF_DIR)
             d2.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            j1 = next_job_id()
+            spark.sparkContext.setJobGroup(None, None)
             best = dt if best is None else min(best, dt)
-            jobs_delta = (j1 - j0) if (j0 >= 0 and j1 >= 0) else -1
+            try:
+                jobs_delta = len(tracker.getJobIdsForGroup(group))
+            except Exception:
+                jobs_delta = -1
         print(
             f"{name}: build={t_build:.3f}s first={t_first:.3f}s "
             f"warm_min={best:.3f}s jobs~{jobs_delta}",
