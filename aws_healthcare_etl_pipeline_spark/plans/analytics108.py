@@ -256,75 +256,131 @@ def graph_personalized_pagerank(
     )
     edges = heavy.unionAll(
         heavy.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(
-        eager=False
     )
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    p = (
-        edges.join(deg, edges.u == deg.node)
-        .select(
-            F.col("u").alias("i"),
-            F.col("v").alias("j"),
-            F.expr("CAST(1000 div d AS LONG)").alias("p_milli"),
-        )
-        .localCheckpoint(eager=False)
+    p = edges.join(deg, edges.u == deg.node).select(
+        F.col("u").alias("i"),
+        F.col("v").alias("j"),
+        F.expr("CAST(1000 div d AS LONG)").alias("p_milli"),
     )
-    source = (
-        deg.orderBy(F.col("d").desc(), "node")
-        .limit(1)
-        .select(F.col("node").alias("src"))
-        .localCheckpoint(eager=False)
+    # r12: the 12 restart-walk steps as ONE in-row integer fold over
+    # the bounded (<=25-nation) matrix — the markov/DTW pattern. The
+    # r11 form ran an eager localCheckpoint per step (25 Spark jobs
+    # per run for a 25-row vector). The edge list is SYMMETRIC
+    # (unionAll both directions), so the i-set of p IS the node set,
+    # and the per-step `nodes LEFT JOIN walk` + COALESCE(walk,0) is
+    # exactly the dense fold over that set: no presence tracking
+    # needed (unlike markov). src = max-degree node, ties lowest —
+    # computed in-row from the same cells. Identical arithmetic:
+    # v'_j = (sum_i (v_i*P_ij) div 1000) * 3 div 4 (+ restart at src),
+    # with the exact-multiple double division trick for `div`.
+    cells = p.groupBy().agg(
+        F.collect_list(F.struct("i", "j", "p_milli")).alias("cells")
     )
-    v = (
-        nodes.crossJoin(F.broadcast(source))
-        .select(
-            F.col("node").alias("state"),
-            F.when(F.col("node") == F.col("src"), 1000000)
-            .otherwise(0)
-            .cast("long")
-            .alias("v_ppm"),
-        )
-        .localCheckpoint(eager=False)
+    row = cells.select(
+        "cells",
+        F.array_sort(
+            F.array_distinct(F.transform("cells", lambda c: c["i"]))
+        ).alias("states"),
+    ).where(
+        # degenerate graph (no heavy edge): the pre-fold form produced
+        # zero output rows; drop the single all-empty row BEFORE the
+        # fold — sequence(0, k-1) at k=0 yields [0, -1] and the fold
+        # would index an empty array
+        F.size("states") > 0
     )
-    for _ in range(_PPR_STEPS):
-        walk = (
-            v.join(p, p.i == v.state)
-            .groupBy(F.col("j").alias("state"))
-            .agg(
-                F.sum(F.expr("(v_ppm * p_milli) div 1000"))
-                .cast("long")
-                .alias("walk")
+    k = F.size("states")
+
+    def _div(prod, d: int):
+        return ((prod - prod % d) / d).cast("long")
+
+    def _deg_of(s):
+        return F.size(F.filter("cells", lambda c: c["i"] == s))
+
+    # argmax degree, ties -> lowest node id (states is ascending)
+    src = F.aggregate(
+        F.col("states"),
+        F.struct(
+            F.lit(None).cast("int").alias("s"),
+            F.lit(-1).alias("d"),
+        ),
+        lambda acc, s: F.when(
+            _deg_of(s) > acc["d"],
+            F.struct(s.cast("int").alias("s"), _deg_of(s).alias("d")),
+        ).otherwise(acc),
+    )["s"]
+    row = row.select(
+        "states",
+        src.alias("src"),
+        F.map_from_entries(
+            F.transform(
+                "cells",
+                lambda c: F.struct(
+                    (
+                        (F.array_position(F.col("states"), c["i"]) - 1) * k
+                        + (F.array_position(F.col("states"), c["j"]) - 1)
+                    )
+                    .cast("long")
+                    .alias("key"),
+                    c["p_milli"].alias("value"),
+                ),
             )
-        )
-        v = (
-            nodes.join(
-                walk, nodes.node == walk.state, "left"
-            )
-            .crossJoin(F.broadcast(source))
-            .select(
-                F.col("node").alias("state"),
-                (
-                    F.expr("COALESCE(walk, 0) * 3 div 4")
-                    + F.when(
-                        F.col("node") == F.col("src"), _RESTART_PPM
-                    ).otherwise(0)
+        ).alias("pmap"),
+    )
+    k = F.size("states")
+    idxs = F.sequence(F.lit(0), k - F.lit(1))
+    v0 = F.transform(
+        F.col("states"),
+        lambda s: F.when(s == F.col("src"), F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PPR_STEPS)),
+        v0,
+        lambda v, _: F.transform(
+            idxs,
+            lambda jx: (
+                _div(
+                    F.aggregate(
+                        idxs,
+                        F.lit(0).cast("long"),
+                        lambda s, ix: s
+                        + _div(
+                            F.element_at(v, ix + F.lit(1))
+                            * F.coalesce(
+                                F.element_at(
+                                    F.col("pmap"), (ix * k + jx).cast("long")
+                                ),
+                                F.lit(0).cast("long"),
+                            ),
+                            1000,
+                        ),
+                    )
+                    * 3,
+                    4,
                 )
-                .cast("long")
-                .alias("v_ppm"),
-            )
-            # eager per-step checkpoint (r11): lazy re-planned a growing
-            # RDD DAG every step — pure driver time on a tiny vector
-            .localCheckpoint(eager=True)
-        )
+                + F.when(
+                    F.element_at(F.col("states"), jx + F.lit(1))
+                    == F.col("src"),
+                    F.lit(_RESTART_PPM),
+                ).otherwise(F.lit(0))
+            ).cast("long"),
+        ),
+    )
     return (
-        v.crossJoin(F.broadcast(source))
+        row.select(
+            F.col("src"),
+            F.explode(F.arrays_zip(F.col("states"), fold.alias("v"))).alias(
+                "z"
+            ),
+        )
         .select(
-            F.col("state").alias("nationkey"),
-            F.col("v_ppm").alias("ppr_ppm"),
-            F.when(F.col("state") == F.col("src"), 1)
+            F.col("z.states").cast("int").alias("nationkey"),
+            F.col("z.v").alias("ppr_ppm"),
+            F.when(F.col("z.states") == F.col("src"), 1)
             .otherwise(0)
             .alias("is_source"),
         )

@@ -120,13 +120,19 @@ def graph_functional_cycle_structure(
         .localCheckpoint()
     )
     m0 = m
-    for _ in range(_FC_LEVELS):
+    # r12: checkpoint every SECOND doubling level instead of every
+    # level. Each level references m twice (lookup of lookup), so two
+    # unchecked levels put 4 copies of the previous checkpoint's scan
+    # in the plan — bounded and exchange-reusable, unlike the
+    # unbounded 2^rounds growth that motivated per-level checkpoints.
+    # 18 materialization round trips -> 9 for identical arithmetic.
+    for lvl in range(_FC_LEVELS):
         b = m.select(F.col("k").alias("bk"), F.col("nxt").alias("bnxt"))
-        m = (
-            m.join(b, m.nxt == F.col("bk"))
-            .select("k", F.col("bnxt").alias("nxt"))
-            .localCheckpoint()  # eager: each level is referenced twice
+        m = m.join(b, m.nxt == F.col("bk")).select(
+            "k", F.col("bnxt").alias("nxt")
         )
+        if lvl % 2 == 1 or lvl == _FC_LEVELS - 1:
+            m = m.localCheckpoint()
     cyc_nodes = m.select(F.col("nxt").alias("c")).distinct()
     # Phase 2 — cycle labeling. The cycle-node set is the image of
     # f^(2^18): rho theory puts its expected size at sqrt(pi*N/2)

@@ -112,56 +112,87 @@ def encoding_huffman_5symbol_exact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    counts = (
-        events.groupBy(F.col("event_type").alias("symbol"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .localCheckpoint(eager=False)  # alphabet-sized; feeds the cascade
+    counts = events.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
     )
-    nodes = counts.select(F.col("symbol").alias("nk"), "w")
-    memb = counts.select(
-        F.col("symbol").alias("nk"), "symbol", F.lit(0).alias("depth")
+    # r12: the 4 unrolled merge rounds as ONE in-row fold over the
+    # alphabet-sized array (the markov/DTW lesson applied to the
+    # smallest lane member: the r11 form re-ranked + broadcast a
+    # 1-row pick per round — 16 Spark jobs for a 5-symbol alphabet).
+    # Identical algorithm: sort nodes by (w, nk), merge the two
+    # smallest into least(k1,k2) with weight w1+w2, bump member
+    # depths; the (w, nk) struct field order makes array_sort the
+    # exact window-order replacement.
+    row = counts.groupBy().agg(
+        F.collect_list(F.struct("symbol", "w")).alias("cells")
     )
-    for _ in range(4):
-        ranked = nodes.withColumn(
-            "rk", F.row_number().over(Window.orderBy("w", "nk"))
+    init = F.struct(
+        F.transform(
+            "cells", lambda c: F.struct(c["w"].alias("w"), c["symbol"].alias("nk"))
+        ).alias("nodes"),
+        F.transform(
+            "cells",
+            lambda c: F.struct(
+                c["symbol"].alias("nk"),
+                c["symbol"].alias("symbol"),
+                F.lit(0).alias("depth"),
+                c["w"].alias("w"),
+            ),
+        ).alias("memb"),
+    )
+
+    def merge_round(acc, _):
+        srt = F.array_sort(acc["nodes"])
+        e1 = F.element_at(srt, 1)
+        e2 = F.element_at(srt, 2)
+        k1, k2 = e1["nk"], e2["nk"]
+        nk_new = F.least(k1, k2)
+        merged_nodes = F.concat(
+            F.slice(srt, 3, F.greatest(F.size(srt) - 2, F.lit(0))),
+            F.array(F.struct((e1["w"] + e2["w"]).alias("w"), nk_new.alias("nk"))),
         )
-        pick = ranked.agg(
-            F.min(F.when(F.col("rk") == 1, F.col("nk"))).alias("k1"),
-            F.min(F.when(F.col("rk") == 2, F.col("nk"))).alias("k2"),
-            F.sum(F.when(F.col("rk") <= 2, F.col("w")))
-            .cast("long")
-            .alias("nw"),
+        merged_memb = F.transform(
+            acc["memb"],
+            lambda m: F.struct(
+                F.when((m["nk"] == k1) | (m["nk"] == k2), nk_new)
+                .otherwise(m["nk"])
+                .alias("nk"),
+                m["symbol"].alias("symbol"),
+                (
+                    m["depth"]
+                    + ((m["nk"] == k1) | (m["nk"] == k2)).cast("int")
+                ).alias("depth"),
+                m["w"].alias("w"),
+            ),
         )
-        survivors = ranked.crossJoin(F.broadcast(pick)).filter(
-            F.col("rk") > 2
-        )
-        nodes = survivors.select("nk", "w").unionByName(
-            pick.select(
-                F.least(F.col("k1"), F.col("k2")).alias("nk"),
-                F.col("nw").alias("w"),
-            )
-        )
-        merged = (F.col("nk") == F.col("k1")) | (
-            F.col("nk") == F.col("k2")
-        )
-        memb = memb.crossJoin(F.broadcast(pick)).select(
-            F.when(merged, F.least(F.col("k1"), F.col("k2")))
-            .otherwise(F.col("nk"))
-            .alias("nk"),
-            "symbol",
-            (F.col("depth") + merged.cast("int")).alias("depth"),
-        )
-    tot = memb.join(counts, "symbol").agg(
-        F.sum(F.col("w") * F.col("depth")).cast("long").alias("huff_bits"),
-        F.sum(F.col("w") * _HUF_FIXED_BITS).cast("long").alias("fixed_bits"),
+        # degenerate (<2 nodes left): nothing to merge, keep acc
+        return F.when(
+            F.size(acc["nodes"]) >= 2,
+            F.struct(merged_nodes.alias("nodes"), merged_memb.alias("memb")),
+        ).otherwise(acc)
+
+    fold = F.aggregate(F.sequence(F.lit(1), F.lit(4)), init, merge_round)
+    memb = fold["memb"]
+    huff_bits = F.aggregate(
+        memb,
+        F.lit(0).cast("long"),
+        lambda a, m: a + m["w"] * m["depth"],
+    )
+    fixed_bits = F.aggregate(
+        memb,
+        F.lit(0).cast("long"),
+        lambda a, m: a + m["w"] * F.lit(_HUF_FIXED_BITS),
     )
     return (
-        memb.join(counts, "symbol")
-        .crossJoin(F.broadcast(tot))
+        row.select(
+            F.explode(memb).alias("m"),
+            huff_bits.alias("huff_bits"),
+            fixed_bits.alias("fixed_bits"),
+        )
         .select(
-            "symbol",
-            F.col("w").alias("n_events"),
-            F.col("depth").cast("long").alias("code_len"),
+            F.col("m.symbol").alias("symbol"),
+            F.col("m.w").alias("n_events"),
+            F.col("m.depth").cast("long").alias("code_len"),
             "huff_bits",
             "fixed_bits",
             F.expr("(huff_bits * 1000) div fixed_bits")

@@ -307,6 +307,12 @@ def events_markov_stationary_power(
         F.array_sort(
             F.array_distinct(F.transform("cells", lambda c: c["i"]))
         ).alias("srcs"),
+    ).where(
+        # degenerate chain (no transition at all): the pre-fold form
+        # produced zero output rows; drop the single all-empty row
+        # BEFORE the fold — sequence(0, k-1) at k=0 yields [0, -1]
+        # and the fold would index an empty array
+        F.size("states") > 0
     )
     k = F.size("states")
     row = row.select(
